@@ -1,0 +1,120 @@
+"""Sequential-recommender model contract and shared losses.
+
+Behavioral contract mirrors the RecBole model interface the reference
+implements (reference ``RecBLR.py:75-122``): ``forward(item_seq,
+item_seq_len) -> [B, H]`` sequence representation, ``calculate_loss``
+(CE over the full catalog or BPR with sampled negatives),
+``predict`` (score given items) and ``full_sort_predict`` (score the
+whole catalog) — but as pure functions over parameter pytrees, so that
+``jax.jit`` / ``pjit`` compile the whole train and eval step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+BPR_GAMMA = 1e-10  # RecBole BPRLoss gamma (loss = -log(gamma + sigmoid(pos-neg)))
+
+
+def ce_loss(logits, targets, weights=None):
+    """Full-catalog softmax cross-entropy, mean over (weighted) rows.
+
+    Matches torch ``nn.CrossEntropyLoss`` with mean reduction
+    (reference ``RecBLR.py:100-102``): logits over *all* item ids
+    including PAD=0; targets are positive item ids (never 0 in train).
+    """
+    logits = logits.astype(jnp.float32)
+    logz = jax.scipy.special.logsumexp(logits, axis=-1)
+    tgt = jnp.take_along_axis(logits, targets[:, None], axis=-1)[:, 0]
+    nll = logz - tgt
+    if weights is None:
+        return jnp.mean(nll)
+    w = weights.astype(jnp.float32)
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def bpr_loss(pos_score, neg_score, weights=None):
+    """RecBole BPRLoss parity: ``-log(1e-10 + sigmoid(pos - neg))`` mean."""
+    loss = -jnp.log(BPR_GAMMA + jax.nn.sigmoid(pos_score - neg_score))
+    if weights is None:
+        return jnp.mean(loss)
+    w = weights.astype(jnp.float32)
+    return jnp.sum(loss * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+class SequentialModel:
+    """Base class: holds static hyperparams; params live in a pytree.
+
+    Subclasses implement ``init_params(rng)``, ``forward(params,
+    item_seq, item_seq_len, *, deterministic, rng)`` and may override
+    the loss/score methods.
+    """
+
+    def __init__(self, config, n_items: int, max_seq_len: int):
+        self.config = config
+        self.n_items = int(n_items)  # includes PAD=0, like RecBole's n_items
+        self.max_seq_len = int(max_seq_len)
+        self.loss_type = config["loss_type"]
+        self.compute_dtype = jnp.dtype(config.get("compute_dtype", "float32"))
+        self.param_dtype = jnp.dtype(config.get("param_dtype", "float32"))
+
+    # -- to implement ------------------------------------------------------
+    def init_params(self, rng):
+        raise NotImplementedError
+
+    def forward(self, params, item_seq, item_seq_len, *, deterministic=True, rng=None):
+        raise NotImplementedError
+
+    # -- shared scoring / losses ------------------------------------------
+    def item_scores(self, params, seq_output, item_ids):
+        """Dot-product score of seq_output[b] with given item ids [B]."""
+        emb = params["item_embedding"][item_ids].astype(seq_output.dtype)
+        return jnp.sum(seq_output * emb, axis=-1)
+
+    def full_sort_scores(self, params, item_seq, item_seq_len):
+        """[B, n_items] scores vs the whole catalog (reference RecBLR.py:114-122)."""
+        seq_output = self.forward(params, item_seq, item_seq_len, deterministic=True)
+        table = params["item_embedding"].astype(seq_output.dtype)
+        return jnp.dot(
+            seq_output, table.T, preferred_element_type=jnp.float32
+        )
+
+    def calculate_loss(self, params, batch, rng):
+        """batch: dict with item_seq [B,T], item_seq_len [B], pos_item [B],
+        optional neg_item [B] (BPR) and weight [B] (0 for padded rows)."""
+        seq_output = self.forward(
+            params,
+            batch["item_seq"],
+            batch["item_seq_len"],
+            deterministic=False,
+            rng=rng,
+        )
+        weights = batch.get("weight")
+        if self.loss_type == "BPR":
+            pos = self.item_scores(params, seq_output, batch["pos_item"])
+            neg = self.item_scores(params, seq_output, batch["neg_item"])
+            return bpr_loss(pos, neg, weights)
+        table = params["item_embedding"].astype(seq_output.dtype)
+        logits = jnp.dot(seq_output, table.T, preferred_element_type=jnp.float32)
+        return ce_loss(logits, batch["pos_item"], weights)
+
+
+def get_model(name: str):
+    """Registry lookup, accepting full names or the driver's one-letter
+    aliases (reference ``run.py:26-34``: B/R/S)."""
+    from datamining_recblr_tpu.models.recblr import RecBLR
+    from datamining_recblr_tpu.models.sasrec import SASRec
+    from datamining_recblr_tpu.models.bert4rec import BERT4Rec
+
+    registry = {
+        "RecBLR": RecBLR,
+        "R": RecBLR,
+        "SASRec": SASRec,
+        "S": SASRec,
+        "BERT4Rec": BERT4Rec,
+        "B": BERT4Rec,
+    }
+    if name not in registry:
+        raise KeyError(f"Unknown model {name!r}; known: {sorted(registry)}")
+    return registry[name]

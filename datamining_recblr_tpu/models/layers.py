@@ -1,0 +1,205 @@
+"""Shared functional NN building blocks (plain pytree params, no framework).
+
+Parameters are plain nested dicts of ``jnp.ndarray``; every layer is a
+pure function ``(params, inputs, ...) -> outputs``.  This keeps the
+whole model a jit-friendly pytree that `pjit`/GSPMD can shard with
+simple ``NamedSharding`` annotations, with no module framework in the
+compute path.
+
+Initialization parity: linear / embedding weights ~ N(0, 0.02), biases
+zero, LayerNorm weight 1 / bias 0 — matching the reference's
+``_init_weights`` (reference ``RecBLR.py:66-73``, ``sasrec.py:83-93``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+LN_EPS = 1e-12  # reference RecBLR.py:41 (and RecBole layer_norm_eps default)
+INIT_STD = 0.02  # reference RecBLR.py:68 / initializer_range
+
+
+# ---------------------------------------------------------------------------
+# init helpers
+# ---------------------------------------------------------------------------
+
+def normal_init(rng, shape, std=INIT_STD, dtype=jnp.float32):
+    return (std * jax.random.normal(rng, shape)).astype(dtype)
+
+
+def dense_init(rng, d_in, d_out, bias=True, dtype=jnp.float32):
+    p = {"w": normal_init(rng, (d_in, d_out), dtype=dtype)}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), dtype)
+    return p
+
+
+def layer_norm_init(dim, dtype=jnp.float32):
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+# ---------------------------------------------------------------------------
+# forward helpers
+# ---------------------------------------------------------------------------
+
+def dense(p, x):
+    y = x @ p["w"]
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def layer_norm(p, x, eps=LN_EPS):
+    # Normalize in fp32 for stability regardless of compute dtype.
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(dtype)
+
+
+def dropout(rng, x, rate, deterministic):
+    """Inverted dropout (torch semantics: scale kept units by 1/(1-p))."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
+_ACTIVATIONS = {
+    "gelu": jax.nn.gelu,
+    "relu": jax.nn.relu,
+    "silu": jax.nn.silu,
+    "swish": jax.nn.silu,
+    "tanh": jnp.tanh,
+    "sigmoid": jax.nn.sigmoid,
+}
+
+
+def activation(name):
+    return _ACTIVATIONS[name]
+
+
+# ---------------------------------------------------------------------------
+# Transformer encoder (behavioral parity with RecBole's TransformerEncoder,
+# which both attention baselines delegate to — reference sasrec.py:59-68,
+# bert4rec.py:70-79).  Post-LN blocks, additive -10000 attention mask.
+# ---------------------------------------------------------------------------
+
+def transformer_encoder_init(
+    rng, n_layers, n_heads, hidden_size, inner_size, dtype=jnp.float32
+):
+    del n_heads  # head count only affects the forward reshape
+    layers = []
+    for _ in range(n_layers):
+        rngs = jax.random.split(rng, 8)
+        rng = rngs[0]
+        layers.append(
+            {
+                "q": dense_init(rngs[1], hidden_size, hidden_size, dtype=dtype),
+                "k": dense_init(rngs[2], hidden_size, hidden_size, dtype=dtype),
+                "v": dense_init(rngs[3], hidden_size, hidden_size, dtype=dtype),
+                "attn_out": dense_init(rngs[4], hidden_size, hidden_size, dtype=dtype),
+                "attn_ln": layer_norm_init(hidden_size, dtype),
+                "ffn_1": dense_init(rngs[5], hidden_size, inner_size, dtype=dtype),
+                "ffn_2": dense_init(rngs[6], inner_size, hidden_size, dtype=dtype),
+                "ffn_ln": layer_norm_init(hidden_size, dtype),
+            }
+        )
+    return layers
+
+
+def _multi_head_attention(
+    p, x, attn_mask, n_heads, *, hidden_dropout, attn_dropout, deterministic, rng
+):
+    b, t, h = x.shape
+    d_head = h // n_heads
+
+    def split_heads(y):
+        return y.reshape(b, t, n_heads, d_head).transpose(0, 2, 1, 3)
+
+    q = split_heads(dense(p["q"], x))
+    k = split_heads(dense(p["k"], x))
+    v = split_heads(dense(p["v"], x))
+
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.asarray(d_head, jnp.float32))
+    scores = scores + attn_mask  # additive mask: 0 keep / -10000 drop
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    if rng is not None:
+        rng, sub = jax.random.split(rng)
+        probs = dropout(sub, probs, attn_dropout, deterministic)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, h)
+    out = dense(p["attn_out"], ctx)
+    if rng is not None:
+        rng, sub = jax.random.split(rng)
+        out = dropout(sub, out, hidden_dropout, deterministic)
+    return layer_norm(p["attn_ln"], out + x)
+
+
+def transformer_encoder_apply(
+    layers,
+    x,
+    attn_mask,
+    *,
+    n_heads,
+    hidden_dropout,
+    attn_dropout,
+    hidden_act="gelu",
+    deterministic=True,
+    rng=None,
+):
+    """Apply the post-LN transformer stack; returns final hidden states."""
+    act = activation(hidden_act)
+    for p in layers:
+        if rng is not None:
+            rng, sub1, sub2 = jax.random.split(rng, 3)
+        else:
+            sub1 = sub2 = None
+        x = _multi_head_attention(
+            p,
+            x,
+            attn_mask,
+            n_heads,
+            hidden_dropout=hidden_dropout,
+            attn_dropout=attn_dropout,
+            deterministic=deterministic,
+            rng=sub1,
+        )
+        y = act(dense(p["ffn_1"], x))
+        y = dense(p["ffn_2"], y)
+        if sub2 is not None:
+            y = dropout(sub2, y, hidden_dropout, deterministic)
+        x = layer_norm(p["ffn_ln"], y + x)
+    return x
+
+
+def attention_mask(item_seq, bidirectional=False):
+    """Additive attention mask [B, 1, T, T]: 0 for attend, -10000 for masked.
+
+    Parity with RecBole's ``get_attention_mask``: key-padding mask
+    (item != 0) combined with a lower-triangular causal mask unless
+    bidirectional (used by BERT4Rec — reference ``bert4rec.py:132``).
+    """
+    t = item_seq.shape[1]
+    pad = (item_seq != 0)[:, None, None, :]  # [B,1,1,T] key padding
+    if not bidirectional:
+        causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
+        keep = jnp.logical_and(pad, causal)
+    else:
+        keep = jnp.broadcast_to(pad, (item_seq.shape[0], 1, t, t))
+    return jnp.where(keep, 0.0, -10000.0).astype(jnp.float32)
+
+
+def gather_last(x, seq_len):
+    """x: [B, T, H], seq_len: [B] -> [B, H] at position len-1.
+
+    Parity with RecBole's ``gather_indexes`` (used at reference
+    ``RecBLR.py:83``, ``sasrec.py:113``).
+    """
+    idx = jnp.clip(seq_len - 1, 0, x.shape[1] - 1)
+    return jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0]

@@ -1,0 +1,170 @@
+"""RecBLR: Behavior-Dependent Linear Recurrent Unit recommender, TPU-native.
+
+Re-implements the behavior of the reference model (reference
+``RecBLR.py``) — item embedding -> dropout -> LayerNorm -> N x
+(gated BD-LRU recurrent block [+ FFN]) -> last-position gather ->
+dot-product scoring — with a TPU-first design:
+
+* Static shapes everywhere: sequences are always [B, T] at the padded
+  max length, so the reference's dynamic power-of-two "embedding
+  padding" around the scan (``RecBLR.py:177-179,203-204``, paper §3.3)
+  is unnecessary — under jit there is exactly one compiled shape and
+  the scan kernel tiles it directly.
+* The hot scan runs via ``ops.linear_scan`` — ``lax.associative_scan``
+  (XLA) or the chunked Pallas kernel — instead of the Triton kernel
+  (``parallel_scan.py``); layout is [B, T, C] with C=128 on the lane
+  axis rather than the reference's [B, C, T].
+* The causal depthwise conv is K shifted multiply-adds fused by XLA
+  (see ``ops/conv.py``) instead of the cuDNN/causal-conv1d path
+  (``RecBLR.py:182-193``).
+* Scan gates/tokens are computed and scanned in fp32 even under bf16
+  compute, mirroring the reference's fp32-only Triton scan
+  (``parallel_scan.py:19-28``).
+
+Ablation flags match the reference exactly: ``bd_lru_only`` forces
+``disable_conv1d`` and ``disable_ffn`` (``RecBLR.py:33-35``).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from datamining_recblr_tpu.models import layers as L
+from datamining_recblr_tpu.models.base import SequentialModel
+from datamining_recblr_tpu.ops.conv import causal_depthwise_conv
+from datamining_recblr_tpu.ops.scan import linear_scan
+
+
+def _softplus_inverse(x: float) -> float:
+    return math.log(math.exp(x) - 1.0)
+
+
+def lambda_init(hidden: int, r_min: float = 0.9, r_max: float = 0.999):
+    """Decay-rate parameter init (reference ``RecBLR.py:153-166``):
+    linspace in softplus-inverse space so that ``exp(-softplus(Lambda))``
+    spans [r_min, r_max] across channels."""
+    lo = _softplus_inverse(-math.log(r_min))
+    hi = _softplus_inverse(-math.log(r_max))
+    return jnp.linspace(lo, hi, hidden, dtype=jnp.float32)
+
+
+class RecBLR(SequentialModel):
+    def __init__(self, config, n_items, max_seq_len):
+        super().__init__(config, n_items, max_seq_len)
+        self.hidden_size = config["hidden_size"]
+        self.num_layers = config["num_layers"]
+        self.dropout_prob = config["dropout_prob"]
+        self.expand = config["expand"]
+        self.d_conv = config["d_conv"]
+        self.bd_lru_only = bool(config["bd_lru_only"])
+        self.disable_conv1d = bool(config["disable_conv1d"]) or self.bd_lru_only
+        self.disable_ffn = bool(config["disable_ffn"]) or self.bd_lru_only
+        self.inner_hidden = int(self.hidden_size * self.expand)
+        self.scan_impl = {"auto": "auto", "always": "pallas", "never": "xla"}[
+            str(config.get("use_pallas_scan", "auto"))
+        ]
+
+    # ------------------------------------------------------------------
+    def init_params(self, rng):
+        d, h, k = self.hidden_size, self.inner_hidden, self.d_conv
+        dt = self.param_dtype
+        keys = iter(jax.random.split(rng, 8 + 8 * self.num_layers))
+        params = {
+            "item_embedding": L.normal_init(next(keys), (self.n_items, d), dtype=dt)
+            .at[0]
+            .set(0.0),  # padding_idx=0 zeroed (reference RecBLR.py:37-39)
+            "input_ln": L.layer_norm_init(d, dt),
+            "layers": [],
+        }
+        # Conv1d keeps torch's default kaiming-uniform init (the reference's
+        # _init_weights only touches Linear/Embedding/LayerNorm): for a
+        # depthwise conv, fan_in = kernel_size, bound = 1/sqrt(fan_in).
+        conv_bound = 1.0 / math.sqrt(k)
+        for _ in range(self.num_layers):
+            grl = {
+                "w_in": L.normal_init(next(keys), (d, 2 * h), dtype=dt),
+                "conv_w": jax.random.uniform(
+                    next(keys), (k, h), dt, -conv_bound, conv_bound
+                ),
+                "conv_b": jax.random.uniform(
+                    next(keys), (h,), dt, -conv_bound, conv_bound
+                ),
+                "w_gates": L.normal_init(next(keys), (h, 2 * h), dtype=dt),
+                "b_gates": jnp.zeros((2 * h,), dt),
+                "Lambda": lambda_init(h),
+                "w_out": L.normal_init(next(keys), (h, d), dtype=dt),
+            }
+            layer = {"grl": grl, "ln": L.layer_norm_init(d, dt)}
+            if not self.disable_ffn:
+                layer["ffn"] = {
+                    "w1": L.dense_init(next(keys), d, 4 * d, dtype=dt),
+                    "w2": L.dense_init(next(keys), 4 * d, d, dtype=dt),
+                    "ln": L.layer_norm_init(d, dt),
+                }
+            params["layers"].append(layer)
+        return params
+
+    # ------------------------------------------------------------------
+    def _gated_recurrent(self, p, x, *, deterministic, rng):
+        """Gated BD-LRU block (reference ``RecBLR.py:170-207``, paper Alg. 1)."""
+        del deterministic, rng  # no dropout inside the block
+        xz = x @ p["w_in"].astype(x.dtype)
+        xb, z = jnp.split(xz, 2, axis=-1)
+
+        if not self.disable_conv1d:
+            xb = jax.nn.silu(
+                causal_depthwise_conv(
+                    xb, p["conv_w"].astype(xb.dtype), p["conv_b"].astype(xb.dtype)
+                )
+            )
+
+        # Gates and scan in fp32 (parity with the fp32 Triton scan).
+        xb32 = xb.astype(jnp.float32)
+        g = xb32 @ p["w_gates"].astype(jnp.float32) + p["b_gates"].astype(jnp.float32)
+        rec, inp = jnp.split(g, 2, axis=-1)
+        # alpha = exp(-softplus(Lambda) * sigmoid(rec));
+        # beta = sqrt(1 - alpha^2 + 1e-8) * sigmoid(inp)   (RecBLR.py:196-199)
+        alpha = jnp.exp(-jax.nn.softplus(p["Lambda"]) * jax.nn.sigmoid(rec))
+        beta = jnp.sqrt(1.0 - jnp.square(alpha) + 1e-8) * jax.nn.sigmoid(inp)
+        h = linear_scan(alpha, beta * xb32, impl=self.scan_impl)
+        h = h.astype(x.dtype)
+
+        return (jax.nn.silu(z) * h) @ p["w_out"].astype(x.dtype)
+
+    def _ffn(self, p, x, *, deterministic, rng):
+        """SiLU point-wise FFN with residual + LN (reference ``RecBLR.py:210-227``)."""
+        if rng is not None:
+            rng, k1, k2 = jax.random.split(rng, 3)
+        else:
+            k1 = k2 = None
+        y = jax.nn.silu(L.dense(p["w1"], x))
+        y = L.dropout(k1, y, self.dropout_prob, deterministic) if k1 is not None else y
+        y = L.dense(p["w2"], y)
+        y = L.dropout(k2, y, self.dropout_prob, deterministic) if k2 is not None else y
+        return L.layer_norm(p["ln"], y + x)
+
+    def forward(self, params, item_seq, item_seq_len, *, deterministic=True, rng=None):
+        x = params["item_embedding"][item_seq].astype(self.compute_dtype)
+        if rng is not None:
+            rng, sub = jax.random.split(rng)
+            x = L.dropout(sub, x, self.dropout_prob, deterministic)
+        x = L.layer_norm(params["input_ln"], x)
+
+        for layer in params["layers"]:
+            if rng is not None:
+                rng, k_grl, k_drop, k_ffn = jax.random.split(rng, 4)
+            else:
+                k_grl = k_drop = k_ffn = None
+            h = self._gated_recurrent(
+                layer["grl"], x, deterministic=deterministic, rng=k_grl
+            )
+            if k_drop is not None:
+                h = L.dropout(k_drop, h, self.dropout_prob, deterministic)
+            x = L.layer_norm(layer["ln"], h + x)
+            if not self.disable_ffn:
+                x = self._ffn(layer["ffn"], x, deterministic=deterministic, rng=k_ffn)
+
+        return L.gather_last(x, item_seq_len)
