@@ -1,0 +1,151 @@
+"""BERT4Rec baseline: bidirectional transformer with cloze training.
+
+Behavioral parity with the reference wrapper (reference
+``bert4rec.py``): mask token id = ``n_items`` with an ``n_items + 1``
+embedding table (``bert4rec.py:60-66``); bidirectional attention mask
+(``:132``); output head FFN + GELU + LayerNorm + per-item bias
+(``:83-86,136-139``); masked-position-only CE/BPR normalized by the
+number of real masks (``:200-213``); test protocol appends the mask
+token after the sequence and shifts left one step
+(``reconstruct_test_data``, ``:109-120``), scoring against the table
+without the mask row (``:236-238``).
+
+TPU-first deviation (math-equivalent): the reference gathers a fixed
+``mask_ratio * max_len`` budget of masked positions via a multi-hot
+bmm (``bert4rec.py:141-181``) — a memory workaround for the [B, T, V]
+logits.  Here the cloze mask is drawn on device inside the jitted
+train step, the CE is computed at *all* positions, and a 0/1 mask
+weights the sum — identical loss value, one static shape, no gather.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from datamining_recblr_tpu.models import layers as L
+from datamining_recblr_tpu.models.base import BPR_GAMMA, SequentialModel
+
+
+class BERT4Rec(SequentialModel):
+    def __init__(self, config, n_items, max_seq_len):
+        super().__init__(config, n_items, max_seq_len)
+        self.n_layers = config["n_layers"]
+        self.n_heads = config["n_heads"]
+        self.hidden_size = config["hidden_size"]
+        self.inner_size = config["inner_size"]
+        self.hidden_dropout_prob = config["hidden_dropout_prob"]
+        self.attn_dropout_prob = config["attn_dropout_prob"]
+        self.hidden_act = config["hidden_act"]
+        self.mask_ratio = float(config["mask_ratio"])
+        self.mask_token = self.n_items  # reference bert4rec.py:60
+
+    def init_params(self, rng):
+        k_item, k_pos, k_trm, k_ffn = jax.random.split(rng, 4)
+        d = self.hidden_size
+        dt = self.param_dtype
+        return {
+            # +1 row for the mask token (reference bert4rec.py:64-66)
+            "item_embedding": L.normal_init(k_item, (self.n_items + 1, d), dtype=dt)
+            .at[0]
+            .set(0.0),
+            "position_embedding": L.normal_init(k_pos, (self.max_seq_len, d), dtype=dt),
+            "input_ln": L.layer_norm_init(d, dt),
+            "encoder": L.transformer_encoder_init(
+                k_trm, self.n_layers, self.n_heads, d, self.inner_size, dt
+            ),
+            "output_ffn": L.dense_init(k_ffn, d, d, dtype=dt),
+            "output_ln": L.layer_norm_init(d, dt),
+            "output_bias": jnp.zeros((self.n_items,), dt),
+        }
+
+    # ------------------------------------------------------------------
+    def encode(self, params, item_seq, *, deterministic=True, rng=None):
+        """[B, T] -> [B, T, H] through embedding, bidirectional encoder,
+        and the GELU output head."""
+        t = item_seq.shape[1]
+        x = params["item_embedding"][item_seq].astype(self.compute_dtype)
+        x = x + params["position_embedding"][:t].astype(self.compute_dtype)
+        x = L.layer_norm(params["input_ln"], x)
+        if rng is not None:
+            rng, sub = jax.random.split(rng)
+            x = L.dropout(sub, x, self.hidden_dropout_prob, deterministic)
+        mask = L.attention_mask(item_seq, bidirectional=True)
+        x = L.transformer_encoder_apply(
+            params["encoder"],
+            x,
+            mask,
+            n_heads=self.n_heads,
+            hidden_dropout=self.hidden_dropout_prob,
+            attn_dropout=self.attn_dropout_prob,
+            hidden_act=self.hidden_act,
+            deterministic=deterministic,
+            rng=rng,
+        )
+        x = jax.nn.gelu(L.dense(params["output_ffn"], x))
+        return L.layer_norm(params["output_ln"], x)
+
+    def reconstruct_test_seq(self, item_seq, item_seq_len):
+        """Append the mask token at the end position and shift left one
+        step (reference bert4rec.py:109-120)."""
+        b, t = item_seq.shape
+        padded = jnp.concatenate([item_seq, jnp.zeros((b, 1), item_seq.dtype)], axis=1)
+        padded = padded.at[jnp.arange(b), item_seq_len].set(self.mask_token)
+        return padded[:, 1:]
+
+    def forward(self, params, item_seq, item_seq_len, *, deterministic=True, rng=None):
+        seq = self.reconstruct_test_seq(item_seq, item_seq_len)
+        out = self.encode(params, seq, deterministic=deterministic, rng=rng)
+        return L.gather_last(out, item_seq_len)
+
+    # ------------------------------------------------------------------
+    def item_scores(self, params, seq_output, item_ids):
+        emb = params["item_embedding"][item_ids].astype(seq_output.dtype)
+        return jnp.sum(seq_output * emb, axis=-1) + params["output_bias"][item_ids]
+
+    def full_sort_scores(self, params, item_seq, item_seq_len):
+        seq_output = self.forward(params, item_seq, item_seq_len, deterministic=True)
+        table = params["item_embedding"][: self.n_items].astype(seq_output.dtype)
+        return (
+            jnp.dot(seq_output, table.T, preferred_element_type=jnp.float32)
+            + params["output_bias"].astype(jnp.float32)
+        )
+
+    # ------------------------------------------------------------------
+    def calculate_loss(self, params, batch, rng):
+        item_seq = batch["item_seq"]
+        row_w = batch.get("weight")
+        rng, k_mask, k_fwd, k_neg = jax.random.split(rng, 4)
+
+        real = item_seq != 0
+        cloze = jnp.logical_and(
+            jax.random.bernoulli(k_mask, self.mask_ratio, item_seq.shape), real
+        )
+        masked_seq = jnp.where(cloze, self.mask_token, item_seq)
+        out = self.encode(params, masked_seq, deterministic=False, rng=k_fwd)
+
+        w = cloze.astype(jnp.float32)
+        if row_w is not None:
+            w = w * row_w[:, None]
+        denom = jnp.maximum(jnp.sum(w), 1.0)
+
+        if self.loss_type == "BPR":
+            pos = item_seq
+            neg = jax.random.randint(k_neg, item_seq.shape, 1, self.n_items)
+            pos_emb = params["item_embedding"][pos].astype(out.dtype)
+            neg_emb = params["item_embedding"][neg].astype(out.dtype)
+            pos_score = jnp.sum(out * pos_emb, -1) + params["output_bias"][pos]
+            neg_score = jnp.sum(out * neg_emb, -1) + params["output_bias"][neg]
+            # reference bert4rec.py:194-197: -sum(log(1e-14 + sigmoid(diff)))/count
+            loss = -jnp.log(1e-14 + jax.nn.sigmoid(pos_score - neg_score))
+            return jnp.sum(loss * w) / denom
+
+        table = params["item_embedding"][: self.n_items].astype(out.dtype)
+        logits = (
+            jnp.einsum("bth,vh->btv", out, table, preferred_element_type=jnp.float32)
+            + params["output_bias"].astype(jnp.float32)
+        )
+        logz = jax.scipy.special.logsumexp(logits, axis=-1)
+        tgt = jnp.take_along_axis(logits, item_seq[..., None], axis=-1)[..., 0]
+        nll = logz - tgt
+        return jnp.sum(nll * w) / denom

@@ -1,0 +1,66 @@
+"""SASRec baseline: unidirectional self-attention tower.
+
+Behavioral parity with the reference wrapper (reference ``sasrec.py``)
+and the RecBole ``TransformerEncoder`` it delegates to: item embedding
++ learned positional embedding -> LayerNorm -> dropout -> causal
+transformer stack (additive -10000 mask over padding and future
+positions, post-LN residual blocks) -> last-position gather, with the
+same CE/BPR loss trio as RecBLR (``sasrec.py:116-150``)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from datamining_recblr_tpu.models import layers as L
+from datamining_recblr_tpu.models.base import SequentialModel
+
+
+class SASRec(SequentialModel):
+    def __init__(self, config, n_items, max_seq_len):
+        super().__init__(config, n_items, max_seq_len)
+        self.n_layers = config["n_layers"]
+        self.n_heads = config["n_heads"]
+        self.hidden_size = config["hidden_size"]
+        self.inner_size = config["inner_size"]
+        self.hidden_dropout_prob = config["hidden_dropout_prob"]
+        self.attn_dropout_prob = config["attn_dropout_prob"]
+        self.hidden_act = config["hidden_act"]
+
+    def init_params(self, rng):
+        k_item, k_pos, k_trm = jax.random.split(rng, 3)
+        d = self.hidden_size
+        dt = self.param_dtype
+        return {
+            "item_embedding": L.normal_init(k_item, (self.n_items, d), dtype=dt)
+            .at[0]
+            .set(0.0),
+            "position_embedding": L.normal_init(k_pos, (self.max_seq_len, d), dtype=dt),
+            "input_ln": L.layer_norm_init(d, dt),
+            "encoder": L.transformer_encoder_init(
+                k_trm, self.n_layers, self.n_heads, d, self.inner_size, dt
+            ),
+        }
+
+    def forward(self, params, item_seq, item_seq_len, *, deterministic=True, rng=None):
+        t = item_seq.shape[1]
+        x = params["item_embedding"][item_seq].astype(self.compute_dtype)
+        x = x + params["position_embedding"][:t].astype(self.compute_dtype)
+        # LN then dropout (reference sasrec.py:104-105 order)
+        x = L.layer_norm(params["input_ln"], x)
+        if rng is not None:
+            rng, sub = jax.random.split(rng)
+            x = L.dropout(sub, x, self.hidden_dropout_prob, deterministic)
+        mask = L.attention_mask(item_seq, bidirectional=False)
+        x = L.transformer_encoder_apply(
+            params["encoder"],
+            x,
+            mask,
+            n_heads=self.n_heads,
+            hidden_dropout=self.hidden_dropout_prob,
+            attn_dropout=self.attn_dropout_prob,
+            hidden_act=self.hidden_act,
+            deterministic=deterministic,
+            rng=rng,
+        )
+        return L.gather_last(x, item_seq_len)

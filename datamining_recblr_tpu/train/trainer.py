@@ -1,0 +1,208 @@
+"""Training loop: jit-compiled steps, per-epoch validation, early
+stopping, best-checkpoint retention.
+
+Rebuilds the RecBole ``Trainer.fit``/``evaluate`` capabilities the
+reference delegates to (SURVEY §2.3: Adam, CE without negative
+sampling, eval every ``eval_step`` epochs, early stop after
+``stopping_step`` non-improving evals on ``valid_metric``, best
+checkpoint reloaded before test), TPU-first:
+
+* the whole training split lives in device memory; each step is one
+  jitted call that *gathers its batch on device* from a host-supplied
+  index vector (tiny transfer), runs fwd+bwd+Adam, and returns the
+  scalar loss;
+* all batches have one static shape -> exactly one XLA compilation;
+* per-epoch train loss is the sum of per-batch mean losses, matching
+  the reference's logged quantity.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from datamining_recblr_tpu.data.batching import batch_count
+from datamining_recblr_tpu.eval.evaluator import Evaluator, format_result
+from datamining_recblr_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from datamining_recblr_tpu.train.optim import build_optimizer
+from datamining_recblr_tpu.utils.logging import MetricsLogger, init_logger
+
+
+class Trainer:
+    def __init__(self, config, model, params=None, rng=None, metrics_logger=None):
+        self.config = config
+        self.model = model
+        self.logger = init_logger()
+        self.metrics = metrics_logger or MetricsLogger(config.get("metrics_file"))
+        self.optimizer = build_optimizer(config)
+        self.evaluator = Evaluator(model, config)
+
+        rng = rng if rng is not None else jax.random.PRNGKey(int(config["seed"]))
+        self.base_rng, init_rng = jax.random.split(rng)
+        self.params = params if params is not None else model.init_params(init_rng)
+        self.opt_state = self.optimizer.init(self.params)
+
+        self.batch_size = int(config["train_batch_size"])
+        self.valid_metric = str(config["valid_metric"]).lower()
+        self.bigger = bool(config.get("valid_metric_bigger", True))
+        self.stopping_step = int(config["stopping_step"])
+        self.eval_step = int(config.get("eval_step", 1))
+        self.epochs = int(config["epochs"])
+        self.ckpt_path = None
+        self.best_score = -np.inf if self.bigger else np.inf
+        self.best_epoch = -1
+        self.best_result: dict = {}
+
+        use_bpr = model.loss_type == "BPR"
+
+        def train_step(params, opt_state, data, idx, weight, neg, step):
+            batch = {
+                "item_seq": data["item_seq"][idx],
+                "item_seq_len": data["item_seq_len"][idx],
+                "pos_item": data["pos_item"][idx],
+                "weight": weight,
+            }
+            if use_bpr:
+                batch["neg_item"] = neg
+            step_rng = jax.random.fold_in(self.base_rng, step)
+
+            def loss_fn(p):
+                return self.model.calculate_loss(p, batch, step_rng)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u.astype(p.dtype), params, updates)
+            return params, opt_state, loss
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------
+    def _is_better(self, score):
+        return score > self.best_score if self.bigger else score < self.best_score
+
+    def fit(self, data, valid_split=None, checkpoint_path=None):
+        """data: SeqData (train on data.train, validate on data.valid
+        unless valid_split given).  Returns (best_score, best_result)."""
+        train = data.train
+        valid = valid_split if valid_split is not None else data.valid
+        n = len(train)
+        steps_per_epoch = batch_count(n, self.batch_size)
+        host_rng = np.random.default_rng(int(self.config["seed"]))
+        use_bpr = self.model.loss_type == "BPR"
+
+        dev_data = {
+            "item_seq": jnp.asarray(train.item_seq),
+            "item_seq_len": jnp.asarray(train.item_seq_len),
+            "pos_item": jnp.asarray(train.pos_item),
+        }
+        if checkpoint_path is None:
+            checkpoint_path = (
+                f"{self.config['checkpoint_dir']}/"
+                f"{self.config['model']}-{self.config.get('dataset') or 'data'}"
+            )
+
+        global_step = 0
+        cur_step = 0
+        for epoch in range(self.epochs):
+            t0 = time.time()
+            perm = host_rng.permutation(n)
+            epoch_loss = 0.0
+            losses = []
+            for s in range(steps_per_epoch):
+                chunk = perm[s * self.batch_size : (s + 1) * self.batch_size]
+                pad = self.batch_size - len(chunk)
+                weight = np.ones(self.batch_size, np.float32)
+                if pad:
+                    chunk = np.concatenate([chunk, np.zeros(pad, np.int64)])
+                    weight[self.batch_size - pad :] = 0.0
+                neg = (
+                    host_rng.integers(
+                        1, self.model.n_items, size=self.batch_size
+                    ).astype(np.int32)
+                    if use_bpr
+                    else np.zeros(1, np.int32)
+                )
+                self.params, self.opt_state, loss = self._train_step(
+                    self.params,
+                    self.opt_state,
+                    dev_data,
+                    jnp.asarray(chunk, dtype=jnp.int32),
+                    jnp.asarray(weight),
+                    jnp.asarray(neg),
+                    global_step,
+                )
+                losses.append(loss)
+                global_step += 1
+            epoch_loss = float(jnp.sum(jnp.stack(losses)))
+            train_time = time.time() - t0
+
+            record = {
+                "epoch": epoch,
+                "train_loss": epoch_loss,
+                "train_time": train_time,
+            }
+            line = f"epoch {epoch} training [time: {train_time:.2f}s, train loss: {epoch_loss:.4f}]"
+
+            if valid is not None and len(valid) and (epoch + 1) % self.eval_step == 0:
+                t1 = time.time()
+                result = self.evaluator.evaluate(self.params, valid)
+                eval_time = time.time() - t1
+                score = result.get(self.valid_metric, 0.0)
+                record.update(
+                    valid_score=score, eval_time=eval_time,
+                    **{f"valid_{k}": v for k, v in result.items()},
+                )
+                line += (
+                    f" | valid [time: {eval_time:.2f}s, {self.valid_metric}:"
+                    f" {score:.4f}]"
+                )
+                if self._is_better(score):
+                    self.best_score = score
+                    self.best_epoch = epoch
+                    self.best_result = result
+                    cur_step = 0
+                    self.ckpt_path = save_checkpoint(
+                        checkpoint_path, {"params": self.params, "epoch": epoch}
+                    )
+                    line += " *best*"
+                else:
+                    cur_step += 1
+            self.logger.info(line)
+            self.metrics.log("epoch", **record)
+
+            if valid is not None and len(valid) and cur_step > self.stopping_step:
+                self.logger.info(
+                    f"early stop at epoch {epoch} (best {self.valid_metric}="
+                    f"{self.best_score:.4f} @ epoch {self.best_epoch})"
+                )
+                break
+
+        if valid is None or not len(valid):
+            # no validation: keep final params as "best"
+            self.ckpt_path = save_checkpoint(
+                checkpoint_path, {"params": self.params, "epoch": self.epochs - 1}
+            )
+        self.metrics.log(
+            "fit_done",
+            best_epoch=self.best_epoch,
+            best_score=float(self.best_score) if np.isfinite(self.best_score) else None,
+            **{f"best_{k}": v for k, v in self.best_result.items()},
+        )
+        return self.best_score, self.best_result
+
+    # ------------------------------------------------------------------
+    def evaluate(self, split, load_best=True):
+        """Full-sort evaluation; reloads the best checkpoint first, like
+        the reference (log:312 'Loading model structure and parameters
+        from saved/...')."""
+        params = self.params
+        if load_best and self.ckpt_path:
+            state = restore_checkpoint(self.ckpt_path, {"params": self.params, "epoch": 0})
+            params = jax.tree.map(jnp.asarray, state["params"])
+        result = self.evaluator.evaluate(params, split)
+        self.logger.info("test result: " + format_result(result))
+        self.metrics.log("test", **result)
+        return result
