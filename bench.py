@@ -1,0 +1,111 @@
+"""Benchmark: RecBLR training throughput (examples/s/chip) on an
+ML-1M-shaped workload, vs the reference's A100+Triton baseline.
+
+Baseline derivation: the paper's shipped scheme (parallel scan +
+embedding padding) trains ML-1M at 61 s/epoch on an A100-40GB (paper
+Table 5; SURVEY §6A).  RecBole's prefix augmentation yields ~982k
+training samples per ML-1M epoch, giving ~16.1k examples/s as the
+reference baseline.  This bench runs the same model shape (hidden 64,
+2 layers, T=200, ML-1M-scale vocab, batch 2048) through the jitted
+train step (fwd + bwd + Adam, full-catalog CE) and reports steady-state
+examples/s on the current chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_EXAMPLES_PER_S = 16100.0  # A100-40GB, paper Table 5 (61 s/epoch)
+
+
+def main():
+    from datamining_recblr_tpu.config import Config
+    from datamining_recblr_tpu.data.synthetic import synthetic_splits
+    from datamining_recblr_tpu.models import get_model
+    from datamining_recblr_tpu.train.optim import build_optimizer
+
+    on_tpu = jax.default_backend() == "tpu"
+    batch = 2048 if on_tpu else 64
+    steps = 30 if on_tpu else 3
+    warmup = 5 if on_tpu else 1
+    n_items, max_len = 3417, 200  # ML-1M after 5-core, max list length 200
+
+    cfg = Config(
+        model="RecBLR",
+        config_dict={
+            "MAX_ITEM_LIST_LENGTH": max_len,
+            # production precision policy: bf16 matmuls, fp32 scan+CE
+            "compute_dtype": "bfloat16" if on_tpu else "float32",
+            "use_pallas_scan": "auto",
+        },
+    )
+    model = get_model("RecBLR")(cfg, n_items=n_items, max_seq_len=max_len)
+    optimizer = build_optimizer(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    opt_state = optimizer.init(params)
+    base_rng = jax.random.PRNGKey(1)
+
+    train, _ = synthetic_splits(6040, n_items, max_len, batch * 4, seed=0)
+    data = {
+        "item_seq": jnp.asarray(train.item_seq),
+        "item_seq_len": jnp.asarray(train.item_seq_len),
+        "pos_item": jnp.asarray(train.pos_item),
+    }
+    weight = jnp.ones((batch,), jnp.float32)
+
+    def train_step(params, opt_state, idx, step):
+        b = {
+            "item_seq": data["item_seq"][idx],
+            "item_seq_len": data["item_seq_len"][idx],
+            "pos_item": data["pos_item"][idx],
+            "weight": weight,
+        }
+        rng = jax.random.fold_in(base_rng, step)
+        loss, grads = jax.value_and_grad(
+            lambda p: model.calculate_loss(p, b, rng)
+        )(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u.astype(p.dtype), params, updates)
+        return params, opt_state, loss
+
+    jitted = jax.jit(train_step, donate_argnums=(0, 1))
+
+    host = np.random.default_rng(0)
+    n = len(train.pos_item)
+
+    def run(k, t0_step):
+        nonlocal params, opt_state
+        loss = None
+        for s in range(k):
+            idx = jnp.asarray(host.integers(0, n, size=batch), jnp.int32)
+            params, opt_state, loss = jitted(params, opt_state, idx, t0_step + s)
+        loss.block_until_ready()
+        return loss
+
+    run(warmup, 0)
+    t0 = time.perf_counter()
+    loss = run(steps, warmup)
+    dt = time.perf_counter() - t0
+    examples_per_s = batch * steps / dt
+
+    assert np.isfinite(float(loss)), "training diverged"
+    print(
+        json.dumps(
+            {
+                "metric": "recblr_train_examples_per_s_per_chip_ml1m_shape",
+                "value": round(examples_per_s, 1),
+                "unit": "examples/s",
+                "vs_baseline": round(examples_per_s / BASELINE_EXAMPLES_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -23,11 +23,17 @@ def target_ranks(scores, targets):
 
     scores: [B, V] float; targets: [B] int.
     Rank = (# strictly greater) + (# equal with smaller index) + 1.
+
+    Written as masked reductions over the item axis (no gather /
+    take_along_axis) so that under GSPMD with vocab-sharded scores the
+    whole computation partitions into local reductions + one psum —
+    the [B, V] score matrix is never materialized unsharded.
     """
     scores = scores.astype(jnp.float32)
-    tgt_score = jnp.take_along_axis(scores, targets[:, None], axis=-1)
-    greater = jnp.sum(scores > tgt_score, axis=-1)
     idx = jnp.arange(scores.shape[-1])[None, :]
+    is_tgt = idx == targets[:, None]
+    tgt_score = jnp.sum(jnp.where(is_tgt, scores, 0.0), axis=-1, keepdims=True)
+    greater = jnp.sum(scores > tgt_score, axis=-1)
     eq_before = jnp.sum(
         (scores == tgt_score) & (idx < targets[:, None]), axis=-1
     )
@@ -71,8 +77,10 @@ def rank_metrics(ranks, metrics, topk, weights=None):
 
 def mask_scores(scores, pad_value=-jnp.inf, history=None):
     """Mask PAD item 0 (RecBole full-sort sets the PAD column to -inf)
-    and optionally a [B, V] boolean history mask."""
-    scores = scores.at[:, 0].set(pad_value)
+    and optionally a [B, V] boolean history mask.  Uses an iota compare
+    instead of a scatter so vocab-sharded scores stay sharded."""
+    idx = jnp.arange(scores.shape[-1])[None, :]
+    scores = jnp.where(idx == 0, pad_value, scores)
     if history is not None:
         scores = jnp.where(history, pad_value, scores)
     return scores

@@ -1,0 +1,62 @@
+"""Sharding layouts for model params and batches.
+
+Layout strategy (BASELINE.json north star; SURVEY §7 step 7):
+
+* ``item_embedding`` (and BERT4Rec's ``output_bias``): **row-sharded**
+  over the ``model`` axis — the biggest tensor and the full-catalog
+  logits' contraction operand.  ID lookup and CE/top-k then partition
+  into per-shard compute + small collectives under GSPMD.
+* every other parameter: replicated (the towers are tiny: ~100k params
+  at hidden=64 — data-parallel replication is the right call).
+* batches: sharded over ``data`` on the leading axis.
+* optimizer state follows the params automatically (same tree shape).
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from datamining_recblr_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+_ROW_SHARDED = {"item_embedding"}
+_VOCAB_SHARDED = {"output_bias"}
+
+
+def param_pspecs(params) -> dict:
+    """PartitionSpec tree matching a model param tree."""
+
+    def spec_for(path, leaf):
+        names = {getattr(p, "key", getattr(p, "name", None)) for p in path}
+        if names & _ROW_SHARDED:
+            return P(MODEL_AXIS, None)
+        if names & _VOCAB_SHARDED:
+            return P(MODEL_AXIS)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def batch_pspec(batch) -> dict:
+    return jax.tree.map(lambda _: P(DATA_AXIS), batch)
+
+
+def shard_params(params, mesh: Mesh):
+    specs = param_pspecs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def shard_batch(batch, mesh: Mesh):
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS))), batch
+    )
+
+
+def named(mesh: Mesh, spec_tree):
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        spec_tree,
+        is_leaf=lambda s: isinstance(s, P),
+    )
