@@ -49,7 +49,7 @@ def main():
     optimizer = build_optimizer(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
     opt_state = optimizer.init(params)
-    base_rng = jax.random.PRNGKey(1)
+    base_rng = jax.random.key(1, impl=cfg["prng_impl"])
 
     train, _ = synthetic_splits(6040, n_items, max_len, batch * 4, seed=0)
     data = {

@@ -67,6 +67,8 @@ _GENERAL_DEFAULTS: dict[str, Any] = {
     # TPU-native additions (not in RecBole)
     "compute_dtype": "float32",   # bfloat16 for speed, float32 for parity
     "param_dtype": "float32",
+    "prng_impl": "rbg",           # rbg: fast TPU dropout; threefry2x32: portable
+
     "use_pallas_scan": "auto",    # auto | always | never
     "mesh_shape": None,           # e.g. {"data": 4, "model": 2}; None = single device
     "metrics_file": None,         # JSONL structured metrics sink

@@ -114,23 +114,45 @@ class RecBLR(SequentialModel):
         xz = x @ p["w_in"].astype(x.dtype)
         xb, z = jnp.split(xz, 2, axis=-1)
 
-        if not self.disable_conv1d:
-            xb = jax.nn.silu(
-                causal_depthwise_conv(
-                    xb, p["conv_w"].astype(xb.dtype), p["conv_b"].astype(xb.dtype)
-                )
-            )
+        use_fused = (
+            self.scan_impl != "xla"
+            and self.inner_hidden <= 128
+            and (self.scan_impl == "pallas" or jax.default_backend() == "tpu")
+        )
+        if use_fused:
+            # fused Pallas kernel: causal conv + SiLU + gates matmul +
+            # decay math + scan, all in VMEM, fp32 internally
+            # (ops/fused_bdlru.py)
+            from datamining_recblr_tpu.ops.fused_bdlru import fused_bdlru
 
-        # Gates and scan in fp32 (parity with the fp32 Triton scan).
-        xb32 = xb.astype(jnp.float32)
-        g = xb32 @ p["w_gates"].astype(jnp.float32) + p["b_gates"].astype(jnp.float32)
-        rec, inp = jnp.split(g, 2, axis=-1)
-        # alpha = exp(-softplus(Lambda) * sigmoid(rec));
-        # beta = sqrt(1 - alpha^2 + 1e-8) * sigmoid(inp)   (RecBLR.py:196-199)
-        alpha = jnp.exp(-jax.nn.softplus(p["Lambda"]) * jax.nn.sigmoid(rec))
-        beta = jnp.sqrt(1.0 - jnp.square(alpha) + 1e-8) * jax.nn.sigmoid(inp)
-        h = linear_scan(alpha, beta * xb32, impl=self.scan_impl)
-        h = h.astype(x.dtype)
+            h = fused_bdlru(
+                xb,
+                p["conv_w"].astype(jnp.float32),
+                p["conv_b"].astype(jnp.float32),
+                p["w_gates"].astype(jnp.float32),
+                p["b_gates"].astype(jnp.float32),
+                p["Lambda"].astype(jnp.float32),
+                not self.disable_conv1d,
+            )
+        else:
+            if not self.disable_conv1d:
+                xb = jax.nn.silu(
+                    causal_depthwise_conv(
+                        xb, p["conv_w"].astype(xb.dtype), p["conv_b"].astype(xb.dtype)
+                    )
+                )
+            # Gates and scan in fp32 (parity with the fp32 Triton scan).
+            xb32 = xb.astype(jnp.float32)
+            g = xb32 @ p["w_gates"].astype(jnp.float32) + p["b_gates"].astype(
+                jnp.float32
+            )
+            rec, inp = jnp.split(g, 2, axis=-1)
+            # alpha = exp(-softplus(Lambda) * sigmoid(rec));
+            # beta = sqrt(1 - alpha^2 + 1e-8) * sigmoid(inp)  (RecBLR.py:196-199)
+            alpha = jnp.exp(-jax.nn.softplus(p["Lambda"]) * jax.nn.sigmoid(rec))
+            beta = jnp.sqrt(1.0 - jnp.square(alpha) + 1e-8) * jax.nn.sigmoid(inp)
+            h = linear_scan(alpha, beta * xb32, impl=self.scan_impl)
+            h = h.astype(x.dtype)
 
         return (jax.nn.silu(z) * h) @ p["w_out"].astype(x.dtype)
 

@@ -36,20 +36,40 @@ LANE = 128
 DEFAULT_BT = 8  # batch rows per block
 
 
-def _scan_kernel(g_ref, x_ref, o_ref):
-    x = x_ref[:].astype(jnp.float32)
-    f = g_ref[:].astype(jnp.float32)
+def _scan_body(x, f, reverse=False):
+    """Hillis-Steele inclusive scan along axis 1 of [BT, T, C] registers.
+
+    ``reverse=True`` scans right-to-left (h_t = f_t * h_{t+1} + x_t),
+    used by the backward pass — a native reverse avoids the expensive
+    HBM `reverse` relayout ops XLA emits for jnp.flip."""
     t = x.shape[1]
     idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=1)
     d = 1
     while d < t:
-        keep = idx >= d
-        xl = jnp.where(keep, pltpu.roll(x, d, axis=1), 0.0)
-        fl = jnp.where(keep, pltpu.roll(f, d, axis=1), 1.0)
+        if reverse:
+            keep = idx < t - d
+            shift = (t - d) % t  # circular right by t-d == left by d
+        else:
+            keep = idx >= d
+            shift = d
+        xl = jnp.where(keep, pltpu.roll(x, shift, axis=1), 0.0)
+        fl = jnp.where(keep, pltpu.roll(f, shift, axis=1), 1.0)
         x = xl * f + x
         f = fl * f
         d *= 2
-    o_ref[:] = x.astype(o_ref.dtype)
+    return x
+
+
+def _scan_kernel(g_ref, x_ref, o_ref):
+    x = x_ref[:].astype(jnp.float32)
+    f = g_ref[:].astype(jnp.float32)
+    o_ref[:] = _scan_body(x, f).astype(o_ref.dtype)
+
+
+def _scan_kernel_rev(g_ref, x_ref, o_ref):
+    x = x_ref[:].astype(jnp.float32)
+    f = g_ref[:].astype(jnp.float32)
+    o_ref[:] = _scan_body(x, f, reverse=True).astype(o_ref.dtype)
 
 
 def _pad_to(x, axis, multiple, value):
@@ -62,8 +82,8 @@ def _pad_to(x, axis, multiple, value):
     return jnp.pad(x, widths, constant_values=value)
 
 
-@functools.partial(jax.jit, static_argnames=("block_b",))
-def _scan_fwd_pallas(gates, tokens, block_b: int = DEFAULT_BT):
+@functools.partial(jax.jit, static_argnames=("block_b", "reverse"))
+def _scan_fwd_pallas(gates, tokens, block_b: int = DEFAULT_BT, reverse: bool = False):
     b, t, c = tokens.shape
     g = _pad_to(_pad_to(gates, 0, block_b, 1.0), 2, LANE, 1.0)
     x = _pad_to(_pad_to(tokens, 0, block_b, 0.0), 2, LANE, 0.0)
@@ -75,7 +95,7 @@ def _scan_fwd_pallas(gates, tokens, block_b: int = DEFAULT_BT):
         memory_space=pltpu.VMEM,
     )
     out = pl.pallas_call(
-        _scan_kernel,
+        _scan_kernel_rev if reverse else _scan_kernel,
         out_shape=jax.ShapeDtypeStruct((bp, t, cp), tokens.dtype),
         grid=grid,
         in_specs=[spec, spec],
@@ -100,12 +120,10 @@ def _bwd(res, grad_states):
     states, gates = res
     ones = jnp.ones_like(gates[:, :1])
     shifted_gates = jnp.concatenate([gates[:, 1:], ones], axis=1)
-    # reverse scan == flip -> forward scan -> flip (matches the Triton
-    # backward kernel's reversed-stride loads, parallel_scan.py:70-80)
-    d_states = jnp.flip(
-        _scan_fwd_pallas(jnp.flip(shifted_gates, 1), jnp.flip(grad_states, 1)),
-        1,
-    )
+    # native reverse scan (matches the Triton backward kernel's
+    # reversed-stride loads, parallel_scan.py:70-80, without the HBM
+    # reverse relayouts that jnp.flip would cost)
+    d_states = _scan_fwd_pallas(shifted_gates, grad_states, reverse=True)
     zeros = jnp.zeros_like(states[:, :1])
     d_gates = jnp.concatenate([zeros, states[:, :-1]], axis=1) * d_states
     return d_gates, d_states

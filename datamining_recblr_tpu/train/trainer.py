@@ -40,7 +40,12 @@ class Trainer:
         self.optimizer = build_optimizer(config)
         self.evaluator = Evaluator(model, config)
 
-        rng = rng if rng is not None else jax.random.PRNGKey(int(config["seed"]))
+        if rng is None:
+            # rbg keys generate dropout masks far faster than threefry
+            # on TPU; both are deterministic given the seed
+            rng = jax.random.key(
+                int(config["seed"]), impl=config.get("prng_impl", "rbg")
+            )
         self.base_rng, init_rng = jax.random.split(rng)
         self.params = params if params is not None else model.init_params(init_rng)
         self.opt_state = self.optimizer.init(self.params)
