@@ -237,22 +237,7 @@ def build_dataset(config) -> SeqData:
     (RecBole directory layout) and build the splits."""
     name = config["dataset"]
     path = os.path.join(config["data_path"], name, f"{name}.inter")
-    load_col = config["load_col"] or {}
-    inter_cols = load_col.get("inter")
-    df = read_atomic_file(path, columns=inter_cols)
-    try:
-        from datamining_recblr_tpu.data import native  # optional C++ fast path
-
-        use_native = native.available()
-    except Exception:
-        use_native = False
-    builder = build_from_dataframe
-    if use_native:
-        from datamining_recblr_tpu.data.native import build_from_dataframe_native
-
-        builder = build_from_dataframe_native
-    return builder(
-        df,
+    kwargs = dict(
         max_seq_len=config["MAX_ITEM_LIST_LENGTH"],
         user_field=config["USER_ID_FIELD"],
         item_field=config["ITEM_ID_FIELD"],
@@ -260,3 +245,14 @@ def build_dataset(config) -> SeqData:
         user_interval=config["user_inter_num_interval"],
         item_interval=config["item_inter_num_interval"],
     )
+    if config.get("use_native_loader", True):
+        try:
+            from datamining_recblr_tpu.data import native
+
+            if native.available():
+                return native.build_dataset_from_file(path, **kwargs)
+        except Exception:
+            pass  # fall back to the Python builder
+    load_col = config["load_col"] or {}
+    df = read_atomic_file(path, columns=load_col.get("inter"))
+    return build_from_dataframe(df, **kwargs)

@@ -5,15 +5,37 @@ reference's eval path, SURVEY §3.2): for each eval batch, one jitted
 step computes the sequence representation, the [B, V] catalog scores
 (MXU matmul), the target ranks, and the metric accumulators — nothing
 but two scalars per metric leaves the device per batch.
-"""
+
+History masking: RecBole's sequential full-sort mode masks only the PAD
+item, not training history (SURVEY §7 open question — resolved: for
+sequential datasets RecBole's ``history_index`` is None).  The
+``mask_history`` config therefore defaults False, but the capability
+exists: pass a ``history_fn`` mapping user ids to a [B, V] boolean
+mask and those items score -inf."""
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from datamining_recblr_tpu.data.batching import iter_batches
 from datamining_recblr_tpu.eval.metrics import mask_scores, rank_metrics, target_ranks
+
+
+def history_fn_from_data(data):
+    """Build a history_fn from SeqData.user_train_items: batch of user
+    ids -> [B, n_items] bool mask of items seen in training."""
+
+    def fn(user_ids: np.ndarray) -> np.ndarray:
+        mask = np.zeros((len(user_ids), data.n_items), bool)
+        for j, u in enumerate(user_ids):
+            items = data.user_train_items[int(u)]
+            if len(items):
+                mask[j, items] = True
+        return mask
+
+    return fn
 
 
 class Evaluator:
@@ -30,19 +52,32 @@ class Evaluator:
             ranks = target_ranks(scores, pos_item)
             return rank_metrics(ranks, self.metrics, self.topk, weight)
 
-        self._eval_step = _eval_step
+        @jax.jit
+        def _eval_step_hist(params, item_seq, item_seq_len, pos_item, weight, history):
+            scores = self.model.full_sort_scores(params, item_seq, item_seq_len)
+            scores = mask_scores(scores, history=history)
+            ranks = target_ranks(scores, pos_item)
+            return rank_metrics(ranks, self.metrics, self.topk, weight)
 
-    def evaluate(self, params, split) -> dict[str, float]:
+        self._eval_step = _eval_step
+        self._eval_step_hist = _eval_step_hist
+
+    def evaluate(self, params, split, history_fn=None) -> dict[str, float]:
         """Returns {"metric@k": value} averaged over real rows."""
         sums = {}
         for batch in iter_batches(split, self.batch_size):
-            acc = self._eval_step(
+            args = [
                 params,
                 jnp.asarray(batch["item_seq"]),
                 jnp.asarray(batch["item_seq_len"]),
                 jnp.asarray(batch["pos_item"]),
                 jnp.asarray(batch["weight"]),
-            )
+            ]
+            if history_fn is not None:
+                hist = history_fn(batch["user_id"])
+                acc = self._eval_step_hist(*args, jnp.asarray(hist))
+            else:
+                acc = self._eval_step(*args)
             for key, (s, w) in acc.items():
                 cur = sums.setdefault(key, [0.0, 0.0])
                 cur[0] += float(s)

@@ -1,5 +1,5 @@
 """Training loop: jit-compiled steps, per-epoch validation, early
-stopping, best-checkpoint retention.
+stopping, best-checkpoint retention, resume, profiling.
 
 Rebuilds the RecBole ``Trainer.fit``/``evaluate`` capabilities the
 reference delegates to (SURVEY §2.3: Adam, CE without negative
@@ -13,11 +13,15 @@ checkpoint reloaded before test), TPU-first:
   scalar loss;
 * all batches have one static shape -> exactly one XLA compilation;
 * per-epoch train loss is the sum of per-batch mean losses, matching
-  the reference's logged quantity.
+  the reference's logged quantity;
+* beyond the reference: mid-training resume (``resume_from``) and
+  ``jax.profiler`` trace capture (``profile_dir`` config), SURVEY §5's
+  noted gaps.
 """
 
 from __future__ import annotations
 
+import os
 import time
 
 import jax
@@ -25,7 +29,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from datamining_recblr_tpu.data.batching import batch_count
-from datamining_recblr_tpu.eval.evaluator import Evaluator, format_result
+from datamining_recblr_tpu.eval.evaluator import (
+    Evaluator,
+    format_result,
+    history_fn_from_data,
+)
 from datamining_recblr_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
 from datamining_recblr_tpu.train.optim import build_optimizer
 from datamining_recblr_tpu.utils.logging import MetricsLogger, init_logger
@@ -56,7 +64,9 @@ class Trainer:
         self.stopping_step = int(config["stopping_step"])
         self.eval_step = int(config.get("eval_step", 1))
         self.epochs = int(config["epochs"])
+        self.profile_dir = config.get("profile_dir")
         self.ckpt_path = None
+        self.start_epoch = 0
         self.best_score = -np.inf if self.bigger else np.inf
         self.best_epoch = -1
         self.best_result: dict = {}
@@ -88,14 +98,38 @@ class Trainer:
     def _is_better(self, score):
         return score > self.best_score if self.bigger else score < self.best_score
 
+    def _checkpoint_state(self, epoch):
+        return {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "epoch": epoch,
+            "best_score": float(self.best_score),
+            "best_epoch": self.best_epoch,
+        }
+
+    def resume_from(self, path):
+        """Restore params/optimizer/progress from a checkpoint and
+        continue training at the following epoch."""
+        state = restore_checkpoint(path, self._checkpoint_state(0))
+        self.params = jax.tree.map(jnp.asarray, state["params"])
+        self.opt_state = jax.tree.map(jnp.asarray, state["opt_state"])
+        self.start_epoch = int(state["epoch"]) + 1
+        self.best_score = float(state["best_score"])
+        self.best_epoch = int(state["best_epoch"])
+        self.ckpt_path = path
+        self.logger.info(f"resumed from {path} at epoch {self.start_epoch}")
+
     def fit(self, data, valid_split=None, checkpoint_path=None):
         """data: SeqData (train on data.train, validate on data.valid
         unless valid_split given).  Returns (best_score, best_result)."""
         train = data.train
         valid = valid_split if valid_split is not None else data.valid
+        history_fn = (
+            history_fn_from_data(data) if self.config.get("mask_history") else None
+        )
         n = len(train)
         steps_per_epoch = batch_count(n, self.batch_size)
-        host_rng = np.random.default_rng(int(self.config["seed"]))
+        host_rng = np.random.default_rng(int(self.config["seed"]) + self.start_epoch)
         use_bpr = self.model.loss_type == "BPR"
 
         dev_data = {
@@ -109,12 +143,15 @@ class Trainer:
                 f"{self.config['model']}-{self.config.get('dataset') or 'data'}"
             )
 
-        global_step = 0
+        global_step = self.start_epoch * steps_per_epoch
         cur_step = 0
-        for epoch in range(self.epochs):
+        for epoch in range(self.start_epoch, self.epochs):
             t0 = time.time()
             perm = host_rng.permutation(n)
-            epoch_loss = 0.0
+            profiling = self.profile_dir and epoch == self.start_epoch + 1
+            if profiling:
+                os.makedirs(self.profile_dir, exist_ok=True)
+                jax.profiler.start_trace(self.profile_dir)
             losses = []
             for s in range(steps_per_epoch):
                 chunk = perm[s * self.batch_size : (s + 1) * self.batch_size]
@@ -142,6 +179,9 @@ class Trainer:
                 losses.append(loss)
                 global_step += 1
             epoch_loss = float(jnp.sum(jnp.stack(losses)))
+            if profiling:
+                jax.profiler.stop_trace()
+                self.logger.info(f"profiler trace written to {self.profile_dir}")
             train_time = time.time() - t0
 
             record = {
@@ -153,7 +193,7 @@ class Trainer:
 
             if valid is not None and len(valid) and (epoch + 1) % self.eval_step == 0:
                 t1 = time.time()
-                result = self.evaluator.evaluate(self.params, valid)
+                result = self.evaluator.evaluate(self.params, valid, history_fn)
                 eval_time = time.time() - t1
                 score = result.get(self.valid_metric, 0.0)
                 record.update(
@@ -170,7 +210,7 @@ class Trainer:
                     self.best_result = result
                     cur_step = 0
                     self.ckpt_path = save_checkpoint(
-                        checkpoint_path, {"params": self.params, "epoch": epoch}
+                        checkpoint_path, self._checkpoint_state(epoch)
                     )
                     line += " *best*"
                 else:
@@ -188,7 +228,7 @@ class Trainer:
         if valid is None or not len(valid):
             # no validation: keep final params as "best"
             self.ckpt_path = save_checkpoint(
-                checkpoint_path, {"params": self.params, "epoch": self.epochs - 1}
+                checkpoint_path, self._checkpoint_state(self.epochs - 1)
             )
         self.metrics.log(
             "fit_done",
@@ -199,15 +239,15 @@ class Trainer:
         return self.best_score, self.best_result
 
     # ------------------------------------------------------------------
-    def evaluate(self, split, load_best=True):
+    def evaluate(self, split, load_best=True, history_fn=None):
         """Full-sort evaluation; reloads the best checkpoint first, like
         the reference (log:312 'Loading model structure and parameters
         from saved/...')."""
         params = self.params
         if load_best and self.ckpt_path:
-            state = restore_checkpoint(self.ckpt_path, {"params": self.params, "epoch": 0})
+            state = restore_checkpoint(self.ckpt_path, self._checkpoint_state(0))
             params = jax.tree.map(jnp.asarray, state["params"])
-        result = self.evaluator.evaluate(params, split)
+        result = self.evaluator.evaluate(params, split, history_fn)
         self.logger.info("test result: " + format_result(result))
         self.metrics.log("test", **result)
         return result

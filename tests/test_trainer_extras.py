@@ -1,0 +1,105 @@
+"""Trainer extras: history masking, checkpoint resume, and the
+checkpoint state roundtrip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from datamining_recblr_tpu.config import Config
+from datamining_recblr_tpu.data.dataset import build_from_dataframe
+from datamining_recblr_tpu.data.synthetic import generate_synthetic_interactions
+from datamining_recblr_tpu.eval.evaluator import history_fn_from_data
+from datamining_recblr_tpu.models import get_model
+from datamining_recblr_tpu.train import Trainer
+
+
+@pytest.fixture(scope="module")
+def synth_data():
+    df = generate_synthetic_interactions(
+        n_users=80, n_items=40, min_len=8, max_len=20, markov_weight=0.9, seed=21
+    )
+    return build_from_dataframe(df, max_seq_len=16)
+
+
+def _cfg(tmp_path, **over):
+    return Config(
+        model="RecBLR",
+        config_dict={
+            "hidden_size": 16,
+            "num_layers": 1,
+            "epochs": 2,
+            "train_batch_size": 128,
+            "eval_batch_size": 256,
+            "use_pallas_scan": "never",
+            "MAX_ITEM_LIST_LENGTH": 16,
+            "dataset": "synthetic",
+            "checkpoint_dir": str(tmp_path / "saved"),
+            **over,
+        },
+    )
+
+
+def test_history_fn_masks_seen_items(synth_data):
+    fn = history_fn_from_data(synth_data)
+    users = synth_data.test.user_id[:4]
+    mask = fn(users)
+    assert mask.shape == (4, synth_data.n_items)
+    for j, u in enumerate(users):
+        items = synth_data.user_train_items[int(u)]
+        assert mask[j, items].all()
+        assert not mask[j, 0]  # PAD never marked
+
+
+def test_mask_history_changes_eval(synth_data, tmp_path):
+    cfg = _cfg(tmp_path)
+    model = get_model("RecBLR")(cfg, synth_data.n_items, synth_data.max_seq_len)
+    trainer = Trainer(cfg, model)
+    trainer.fit(synth_data)
+    plain = trainer.evaluator.evaluate(trainer.params, synth_data.test)
+    masked = trainer.evaluator.evaluate(
+        trainer.params, synth_data.test, history_fn_from_data(synth_data)
+    )
+    # masking history removes competing items -> metrics can only differ;
+    # both remain valid probabilities
+    assert 0 <= masked["ndcg@10"] <= 1 and 0 <= plain["ndcg@10"] <= 1
+
+
+def test_resume_continues_training(synth_data, tmp_path):
+    cfg = _cfg(tmp_path, epochs=2)
+    model = get_model("RecBLR")(cfg, synth_data.n_items, synth_data.max_seq_len)
+    t1 = Trainer(cfg, model)
+    t1.fit(synth_data, checkpoint_path=str(tmp_path / "saved" / "run1"))
+    assert t1.ckpt_path is not None
+    first_best = t1.best_score
+
+    cfg2 = _cfg(tmp_path, epochs=4)
+    model2 = get_model("RecBLR")(cfg2, synth_data.n_items, synth_data.max_seq_len)
+    t2 = Trainer(cfg2, model2)
+    t2.resume_from(t1.ckpt_path)
+    assert t2.start_epoch >= 1
+    assert t2.best_score == pytest.approx(first_best)
+    best2, _ = t2.fit(synth_data, checkpoint_path=str(tmp_path / "saved" / "run2"))
+    # training continued and kept-or-improved the best score
+    assert best2 >= first_best - 1e-9
+    epochs_run = [r["epoch"] for r in t2.metrics.epoch_records()]
+    assert min(epochs_run) == t2.start_epoch
+
+
+def test_checkpoint_roundtrip(tmp_path, synth_data):
+    cfg = _cfg(tmp_path)
+    model = get_model("RecBLR")(cfg, synth_data.n_items, synth_data.max_seq_len)
+    trainer = Trainer(cfg, model)
+    from datamining_recblr_tpu.train.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    state = trainer._checkpoint_state(3)
+    path = save_checkpoint(str(tmp_path / "ck" / "test"), state)
+    back = restore_checkpoint(path, state)
+    assert int(back["epoch"]) == 3
+    orig = jax.tree.leaves(state["params"])
+    rest = jax.tree.leaves(back["params"])
+    for a, b in zip(orig, rest):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
