@@ -53,8 +53,23 @@ from jax.experimental.pallas import tpu as pltpu
 from datamining_recblr_tpu.ops.pallas_scan import _pad_to, _scan_body
 
 LANE = 128
-BT = 8  # batch rows per block
 EPS = 1e-8
+
+
+def _block_rows(t: int, budget: int) -> int:
+    """Batch rows per block: largest power of two with rows*t <= budget,
+    capped at 8 — keeps each kernel's fp32 working set within VMEM for
+    long sequences (XLong-scale T~1000, paper §4.1) without chunking
+    the scan.  The backward kernel holds ~2x the live arrays of the
+    forward, so it gets a smaller budget."""
+    bt = 8
+    while bt > 1 and bt * t > budget:
+        bt //= 2
+    return bt
+
+
+_FWD_BUDGET = 2048   # rows*T; measured-safe on v5e (16MB VMEM)
+_BWD_BUDGET = 1600
 
 
 def _shift_right(x, j, fill=0.0):
@@ -211,13 +226,14 @@ def _full_spec(shape):
 @functools.partial(jax.jit, static_argnames=("use_conv",))
 def _fused_fwd(x, wc, bc, wg, bg, lam, use_conv):
     b, t, c = x.shape
-    xp = _pad_to(x, 0, BT, 0.0)
+    bt = _block_rows(t, _FWD_BUDGET)
+    xp = _pad_to(x, 0, bt, 0.0)
     bp = xp.shape[0]
-    block = pl.BlockSpec((BT, t, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    block = pl.BlockSpec((bt, t, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     h = pl.pallas_call(
         functools.partial(_fwd_kernel, use_conv=use_conv),
         out_shape=jax.ShapeDtypeStruct((bp, t, c), x.dtype),
-        grid=(bp // BT,),
+        grid=(bp // bt,),
         in_specs=[
             block,
             _full_spec(wc.shape),
@@ -235,10 +251,11 @@ def _fused_fwd(x, wc, bc, wg, bg, lam, use_conv):
 @functools.partial(jax.jit, static_argnames=("use_conv",))
 def _fused_bwd(x, dh, wc, bc, wg, bg, lam, use_conv):
     b, t, c = x.shape
-    xp = _pad_to(x, 0, BT, 0.0)
-    dhp = _pad_to(dh, 0, BT, 0.0)
+    bt = _block_rows(t, _BWD_BUDGET)
+    xp = _pad_to(x, 0, bt, 0.0)
+    dhp = _pad_to(dh, 0, bt, 0.0)
     bp = xp.shape[0]
-    block = pl.BlockSpec((BT, t, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    block = pl.BlockSpec((bt, t, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, use_conv=use_conv),
         out_shape=(
@@ -249,7 +266,7 @@ def _fused_bwd(x, dh, wc, bc, wg, bg, lam, use_conv):
             jax.ShapeDtypeStruct(bg.shape, jnp.float32),
             jax.ShapeDtypeStruct(lam.shape, jnp.float32),
         ),
-        grid=(bp // BT,),
+        grid=(bp // bt,),
         in_specs=[
             block, block,
             _full_spec(wc.shape),

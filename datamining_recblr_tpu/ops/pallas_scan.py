@@ -33,7 +33,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-DEFAULT_BT = 8  # batch rows per block
+DEFAULT_BT = 8  # batch rows per block (scaled down for long sequences)
+
+
+def _block_rows(t: int) -> int:
+    return max(1, min(DEFAULT_BT, 4096 // max(t, 1)))
 
 
 def _scan_body(x, f, reverse=False):
@@ -83,8 +87,10 @@ def _pad_to(x, axis, multiple, value):
 
 
 @functools.partial(jax.jit, static_argnames=("block_b", "reverse"))
-def _scan_fwd_pallas(gates, tokens, block_b: int = DEFAULT_BT, reverse: bool = False):
+def _scan_fwd_pallas(gates, tokens, block_b: int = 0, reverse: bool = False):
     b, t, c = tokens.shape
+    if not block_b:
+        block_b = _block_rows(t)
     g = _pad_to(_pad_to(gates, 0, block_b, 1.0), 2, LANE, 1.0)
     x = _pad_to(_pad_to(tokens, 0, block_b, 0.0), 2, LANE, 0.0)
     bp, _, cp = x.shape
