@@ -39,11 +39,18 @@ def history_fn_from_data(data):
 
 
 class Evaluator:
-    def __init__(self, model, config):
+    def __init__(self, model, config, mesh=None):
         self.model = model
         self.metrics = [m.lower() for m in config["metrics"]]
         self.topk = [int(k) for k in config["topk"]]
         self.batch_size = int(config["eval_batch_size"])
+        self.mesh = mesh
+        if mesh is not None:
+            data_size = mesh.shape.get("data", 1)
+            assert self.batch_size % data_size == 0, (
+                f"eval_batch_size {self.batch_size} must divide by the data"
+                f" mesh axis ({data_size})"
+            )
 
         @jax.jit
         def _eval_step(params, item_seq, item_seq_len, pos_item, weight):
@@ -66,13 +73,28 @@ class Evaluator:
         """Returns {"metric@k": value} averaged over real rows."""
         sums = {}
         for batch in iter_batches(split, self.batch_size):
-            args = [
-                params,
-                jnp.asarray(batch["item_seq"]),
-                jnp.asarray(batch["item_seq_len"]),
-                jnp.asarray(batch["pos_item"]),
-                jnp.asarray(batch["weight"]),
-            ]
+            if self.mesh is not None:
+                from datamining_recblr_tpu.parallel.sharding import shard_batch
+
+                sharded = shard_batch(
+                    {k: batch[k] for k in ("item_seq", "item_seq_len", "pos_item", "weight")},
+                    self.mesh,
+                )
+                args = [
+                    params,
+                    sharded["item_seq"],
+                    sharded["item_seq_len"],
+                    sharded["pos_item"],
+                    sharded["weight"],
+                ]
+            else:
+                args = [
+                    params,
+                    jnp.asarray(batch["item_seq"]),
+                    jnp.asarray(batch["item_seq_len"]),
+                    jnp.asarray(batch["pos_item"]),
+                    jnp.asarray(batch["weight"]),
+                ]
             if history_fn is not None:
                 hist = history_fn(batch["user_id"])
                 acc = self._eval_step_hist(*args, jnp.asarray(hist))

@@ -58,6 +58,11 @@ class SequentialModel:
         self.loss_type = config["loss_type"]
         self.compute_dtype = jnp.dtype(config.get("compute_dtype", "float32"))
         self.param_dtype = jnp.dtype(config.get("param_dtype", "float32"))
+        # vocab padding so the row-sharded embedding divides the model
+        # mesh axis; padded item columns are masked to -inf in scoring
+        mesh_shape = config.get("mesh_shape") or {}
+        mult = int(config.get("vocab_multiple") or mesh_shape.get("model", 1) or 1)
+        self.n_items_padded = -(-self.n_items // mult) * mult
 
     # -- to implement ------------------------------------------------------
     def init_params(self, rng):
@@ -72,13 +77,19 @@ class SequentialModel:
         emb = params["item_embedding"][item_ids].astype(seq_output.dtype)
         return jnp.sum(seq_output * emb, axis=-1)
 
+    def _mask_padded_vocab(self, logits, value=-jnp.inf):
+        if self.n_items_padded == self.n_items:
+            return logits
+        idx = jnp.arange(logits.shape[-1])[None, :]
+        return jnp.where(idx < self.n_items, logits, value)
+
     def full_sort_scores(self, params, item_seq, item_seq_len):
-        """[B, n_items] scores vs the whole catalog (reference RecBLR.py:114-122)."""
+        """[B, n_items_padded] scores vs the whole catalog (reference
+        RecBLR.py:114-122); padded vocab columns are -inf."""
         seq_output = self.forward(params, item_seq, item_seq_len, deterministic=True)
         table = params["item_embedding"].astype(seq_output.dtype)
-        return jnp.dot(
-            seq_output, table.T, preferred_element_type=jnp.float32
-        )
+        logits = jnp.dot(seq_output, table.T, preferred_element_type=jnp.float32)
+        return self._mask_padded_vocab(logits)
 
     def calculate_loss(self, params, batch, rng):
         """batch: dict with item_seq [B,T], item_seq_len [B], pos_item [B],
@@ -97,6 +108,7 @@ class SequentialModel:
             return bpr_loss(pos, neg, weights)
         table = params["item_embedding"].astype(seq_output.dtype)
         logits = jnp.dot(seq_output, table.T, preferred_element_type=jnp.float32)
+        logits = self._mask_padded_vocab(logits, value=-1e30)
         return ce_loss(logits, batch["pos_item"], weights)
 
 

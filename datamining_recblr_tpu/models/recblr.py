@@ -73,7 +73,7 @@ class RecBLR(SequentialModel):
         dt = self.param_dtype
         keys = iter(jax.random.split(rng, 8 + 8 * self.num_layers))
         params = {
-            "item_embedding": L.normal_init(next(keys), (self.n_items, d), dtype=dt)
+            "item_embedding": L.normal_init(next(keys), (self.n_items_padded, d), dtype=dt)
             .at[0]
             .set(0.0),  # padding_idx=0 zeroed (reference RecBLR.py:37-39)
             "input_ln": L.layer_norm_init(d, dt),

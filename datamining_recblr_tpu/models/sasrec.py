@@ -32,7 +32,7 @@ class SASRec(SequentialModel):
         d = self.hidden_size
         dt = self.param_dtype
         return {
-            "item_embedding": L.normal_init(k_item, (self.n_items, d), dtype=dt)
+            "item_embedding": L.normal_init(k_item, (self.n_items_padded, d), dtype=dt)
             .at[0]
             .set(0.0),
             "position_embedding": L.normal_init(k_pos, (self.max_seq_len, d), dtype=dt),

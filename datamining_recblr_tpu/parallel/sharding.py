@@ -23,14 +23,21 @@ _ROW_SHARDED = {"item_embedding"}
 _VOCAB_SHARDED = {"output_bias"}
 
 
-def param_pspecs(params) -> dict:
-    """PartitionSpec tree matching a model param tree."""
+def param_pspecs(params, mesh: Mesh | None = None) -> dict:
+    """PartitionSpec tree matching a model param tree.  When a mesh is
+    given, tensors whose leading dim does not divide the model axis stay
+    replicated (e.g. BERT4Rec's n_items+1-row table)."""
+    model_size = mesh.shape.get(MODEL_AXIS, 1) if mesh is not None else 1
+
+    def divisible(leaf):
+        dim = getattr(leaf, "shape", (0,))[0] if hasattr(leaf, "shape") else 0
+        return model_size <= 1 or (dim and dim % model_size == 0)
 
     def spec_for(path, leaf):
         names = {getattr(p, "key", getattr(p, "name", None)) for p in path}
-        if names & _ROW_SHARDED:
+        if names & _ROW_SHARDED and divisible(leaf):
             return P(MODEL_AXIS, None)
-        if names & _VOCAB_SHARDED:
+        if names & _VOCAB_SHARDED and divisible(leaf):
             return P(MODEL_AXIS)
         return P()
 
@@ -42,7 +49,7 @@ def batch_pspec(batch) -> dict:
 
 
 def shard_params(params, mesh: Mesh):
-    specs = param_pspecs(params)
+    specs = param_pspecs(params, mesh)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )

@@ -21,7 +21,7 @@ from datamining_recblr_tpu.parallel.sharding import named, param_pspecs
 def init_sharded_state(model, optimizer, mesh, rng):
     """Initialize params and optimizer state directly with their target
     shardings (no unsharded materialization)."""
-    param_sh = named(mesh, param_pspecs(jax.eval_shape(model.init_params, rng)))
+    param_sh = named(mesh, param_pspecs(jax.eval_shape(model.init_params, rng), mesh))
     params = jax.jit(model.init_params, out_shardings=param_sh)(rng)
     opt_state = jax.jit(optimizer.init)(params)  # follows param shardings
     return params, opt_state

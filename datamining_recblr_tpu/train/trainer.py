@@ -46,7 +46,16 @@ class Trainer:
         self.logger = init_logger()
         self.metrics = metrics_logger or MetricsLogger(config.get("metrics_file"))
         self.optimizer = build_optimizer(config)
-        self.evaluator = Evaluator(model, config)
+
+        # multi-chip: a mesh_shape config (e.g. {data: 4, model: 2})
+        # builds the Mesh; params init row-sharded, batches data-sharded
+        self.mesh = None
+        mesh_shape = config.get("mesh_shape")
+        if mesh_shape:
+            from datamining_recblr_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(dict(mesh_shape))
+        self.evaluator = Evaluator(model, config, mesh=self.mesh)
 
         if rng is None:
             # rbg keys generate dropout masks far faster than threefry
@@ -55,8 +64,15 @@ class Trainer:
                 int(config["seed"]), impl=config.get("prng_impl", "rbg")
             )
         self.base_rng, init_rng = jax.random.split(rng)
-        self.params = params if params is not None else model.init_params(init_rng)
-        self.opt_state = self.optimizer.init(self.params)
+        if self.mesh is not None and params is None:
+            from datamining_recblr_tpu.parallel.steps import init_sharded_state
+
+            self.params, self.opt_state = init_sharded_state(
+                model, self.optimizer, self.mesh, init_rng
+            )
+        else:
+            self.params = params if params is not None else model.init_params(init_rng)
+            self.opt_state = self.optimizer.init(self.params)
 
         self.batch_size = int(config["train_batch_size"])
         self.valid_metric = str(config["valid_metric"]).lower()
@@ -72,6 +88,12 @@ class Trainer:
         self.best_result: dict = {}
 
         use_bpr = model.loss_type == "BPR"
+        if self.mesh is not None:
+            data_size = self.mesh.shape.get("data", 1)
+            assert self.batch_size % data_size == 0, (
+                f"train_batch_size {self.batch_size} must divide by the"
+                f" data mesh axis ({data_size})"
+            )
 
         def train_step(params, opt_state, data, idx, weight, neg, step):
             batch = {
@@ -92,7 +114,19 @@ class Trainer:
             params = jax.tree.map(lambda p, u: p + u.astype(p.dtype), params, updates)
             return params, opt_state, loss
 
+        def train_step_batch(params, opt_state, batch, step):
+            step_rng = jax.random.fold_in(self.base_rng, step)
+
+            def loss_fn(p):
+                return self.model.calculate_loss(p, batch, step_rng)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u.astype(p.dtype), params, updates)
+            return params, opt_state, loss
+
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._train_step_batch = jax.jit(train_step_batch, donate_argnums=(0, 1))
 
     # ------------------------------------------------------------------
     def _is_better(self, score):
@@ -132,11 +166,12 @@ class Trainer:
         host_rng = np.random.default_rng(int(self.config["seed"]) + self.start_epoch)
         use_bpr = self.model.loss_type == "BPR"
 
-        dev_data = {
-            "item_seq": jnp.asarray(train.item_seq),
-            "item_seq_len": jnp.asarray(train.item_seq_len),
-            "pos_item": jnp.asarray(train.pos_item),
-        }
+        if self.mesh is None:
+            dev_data = {
+                "item_seq": jnp.asarray(train.item_seq),
+                "item_seq_len": jnp.asarray(train.item_seq_len),
+                "pos_item": jnp.asarray(train.pos_item),
+            }
         if checkpoint_path is None:
             checkpoint_path = (
                 f"{self.config['checkpoint_dir']}/"
@@ -167,15 +202,33 @@ class Trainer:
                     if use_bpr
                     else np.zeros(1, np.int32)
                 )
-                self.params, self.opt_state, loss = self._train_step(
-                    self.params,
-                    self.opt_state,
-                    dev_data,
-                    jnp.asarray(chunk, dtype=jnp.int32),
-                    jnp.asarray(weight),
-                    jnp.asarray(neg),
-                    global_step,
-                )
+                if self.mesh is not None:
+                    from datamining_recblr_tpu.parallel.sharding import shard_batch
+
+                    batch = {
+                        "item_seq": train.item_seq[chunk],
+                        "item_seq_len": train.item_seq_len[chunk],
+                        "pos_item": train.pos_item[chunk],
+                        "weight": weight,
+                    }
+                    if use_bpr:
+                        batch["neg_item"] = neg
+                    self.params, self.opt_state, loss = self._train_step_batch(
+                        self.params,
+                        self.opt_state,
+                        shard_batch(batch, self.mesh),
+                        global_step,
+                    )
+                else:
+                    self.params, self.opt_state, loss = self._train_step(
+                        self.params,
+                        self.opt_state,
+                        dev_data,
+                        jnp.asarray(chunk, dtype=jnp.int32),
+                        jnp.asarray(weight),
+                        jnp.asarray(neg),
+                        global_step,
+                    )
                 losses.append(loss)
                 global_step += 1
             epoch_loss = float(jnp.sum(jnp.stack(losses)))
