@@ -31,7 +31,15 @@ def run_experiment(
     plot_dir: str = "plot",
     make_plots: bool = True,
 ) -> dict:
-    logger = init_logger()
+    log_file = None
+    if config.get("log_dir"):
+        # per-run log file, like the reference's log/<Model>/<run>.log
+        stamp = time.strftime("%b-%d-%Y_%H-%M-%S")
+        log_file = (
+            f"{config['log_dir']}/{config['model']}/"
+            f"{config['model']}-{config.get('dataset') or 'data'}-{stamp}.log"
+        )
+    logger = init_logger(log_file=log_file)
     t_start = time.time()
 
     if data is None:

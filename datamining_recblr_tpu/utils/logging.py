@@ -19,19 +19,24 @@ import time
 
 def init_logger(name: str = "recblr_tpu", log_file: str | None = None):
     logger = logging.getLogger(name)
-    if logger.handlers:
-        return logger
-    logger.setLevel(logging.INFO)
     fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s", "%H:%M:%S")
-    sh = logging.StreamHandler(sys.stdout)
-    sh.setFormatter(fmt)
-    logger.addHandler(sh)
+    if not logger.handlers:
+        logger.setLevel(logging.INFO)
+        sh = logging.StreamHandler(sys.stdout)
+        sh.setFormatter(fmt)
+        logger.addHandler(sh)
+        logger.propagate = False
     if log_file:
-        os.makedirs(os.path.dirname(log_file) or ".", exist_ok=True)
-        fh = logging.FileHandler(log_file)
-        fh.setFormatter(fmt)
-        logger.addHandler(fh)
-    logger.propagate = False
+        have = {
+            getattr(h, "baseFilename", None)
+            for h in logger.handlers
+            if isinstance(h, logging.FileHandler)
+        }
+        if os.path.abspath(log_file) not in have:
+            os.makedirs(os.path.dirname(log_file) or ".", exist_ok=True)
+            fh = logging.FileHandler(log_file)
+            fh.setFormatter(fmt)
+            logger.addHandler(fh)
     return logger
 
 
