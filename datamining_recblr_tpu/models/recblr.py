@@ -168,12 +168,66 @@ class RecBLR(SequentialModel):
         y = L.dropout(k2, y, self.dropout_prob, deterministic) if k2 is not None else y
         return L.layer_norm(p["ln"], y + x)
 
+    def _use_fused_layer(self):
+        return (
+            self.scan_impl != "xla"
+            and self.hidden_size <= 128
+            and self.inner_hidden <= 128
+            and (self.scan_impl == "pallas" or jax.default_backend() == "tpu")
+        )
+
+    @staticmethod
+    def _flat_layer_params(layer, use_ffn):
+        grl = layer["grl"]
+        f32 = lambda a: a.astype(jnp.float32)
+        flat = {
+            "w_in": f32(grl["w_in"]),
+            "wc": f32(grl["conv_w"]),
+            "bc": f32(grl["conv_b"]),
+            "wg": f32(grl["w_gates"]),
+            "bg": f32(grl["b_gates"]),
+            "lam": f32(grl["Lambda"]),
+            "w_out": f32(grl["w_out"]),
+            "ln1_s": f32(layer["ln"]["scale"]),
+            "ln1_b": f32(layer["ln"]["bias"]),
+        }
+        if use_ffn:
+            ffn = layer["ffn"]
+            flat.update(
+                w1=f32(ffn["w1"]["w"]), b1=f32(ffn["w1"]["b"]),
+                w2=f32(ffn["w2"]["w"]), b2=f32(ffn["w2"]["b"]),
+                ln2_s=f32(ffn["ln"]["scale"]), ln2_b=f32(ffn["ln"]["bias"]),
+            )
+        return flat
+
     def forward(self, params, item_seq, item_seq_len, *, deterministic=True, rng=None):
         x = params["item_embedding"][item_seq].astype(self.compute_dtype)
         if rng is not None:
             rng, sub = jax.random.split(rng)
             x = L.dropout(sub, x, self.dropout_prob, deterministic)
         x = L.layer_norm(params["input_ln"], x)
+
+        training = rng is not None and not deterministic
+        if self._use_fused_layer():
+            # whole-layer fused kernels (ops/fused_layer.py): in-kernel
+            # dropout uses the TPU PRNG with a per-step-derived seed
+            from datamining_recblr_tpu.ops.fused_layer import fused_recurrent_layer
+
+            p_drop = float(self.dropout_prob) if training else 0.0
+            if training:
+                rng, k_seed = jax.random.split(rng)
+                seeds = jax.random.randint(
+                    k_seed, (len(params["layers"]), 1), 0, 2**31 - 1, dtype=jnp.int32
+                )
+            else:
+                seeds = jnp.zeros((len(params["layers"]), 1), jnp.int32)
+            for li, layer in enumerate(params["layers"]):
+                flat = self._flat_layer_params(layer, not self.disable_ffn)
+                x = fused_recurrent_layer(
+                    x, seeds[li], flat,
+                    not self.disable_conv1d, not self.disable_ffn, p_drop,
+                )
+            return L.gather_last(x, item_seq_len)
 
         for layer in params["layers"]:
             if rng is not None:

@@ -1,0 +1,438 @@
+"""Whole-layer fused Pallas kernels for the RecBLR RecurrentLayer.
+
+One kernel per direction covers the complete residual block of the
+reference model (``RecBLR.py:124-145`` + ``148-207`` + ``210-227``):
+
+    xz   = x @ W_in ;  xb, z = split(xz)
+    xc   = silu(causal_conv(xb))            [optional]
+    h    = BD-LRU scan of xc                (gates matmul + decay math)
+    y    = (silu(z) * h) @ W_out
+    r1   = LN1(dropout(y) + x)
+    f    = dropout(silu(r1 @ W1 + b1)) @ W2 + b2   [optional FFN]
+    out  = LN2(dropout(f) + r1)
+
+Forward saves only x; the backward kernel recomputes all activations in
+VMEM and emits dx plus every weight gradient with in-kernel MXU matmuls
+accumulated across the batch grid.  HBM traffic per layer collapses to
+one read of x and one write of out (plus dout/dx in the backward) — the
+profiled alternative was ~30 separate [B,T,C] XLA fusions.
+
+Dropout runs *inside* the kernel on the TPU PRNG: the per-step seed and
+the block's ``program_id`` seed `pltpu.prng_seed`, and the backward
+regenerates bit-identical masks by replaying the same generation order.
+With ``dropout_p == 0`` (eval) the PRNG is compiled out entirely.
+
+Constraints: hidden D <= 128 and expanded C = expand*D <= 128 (flagship:
+64/128).  Larger models fall back to the unfused composition in
+``models/recblr.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from datamining_recblr_tpu.ops.fused_bdlru import (
+    _conv_fwd,
+    _gate_math,
+    _shift_left,
+    _shift_right,
+    _silu,
+)
+from datamining_recblr_tpu.ops.pallas_scan import _pad_to, _scan_body
+
+LN_EPS = 1e-12
+
+
+def _block_rows(t: int, budget: int) -> int:
+    bt = 8
+    while bt > 1 and bt * t > budget:
+        bt //= 2
+    return bt
+
+
+_FWD_BUDGET = 1600
+_BWD_BUDGET = 800
+
+
+def _dropout_mask(shape, keep_prob):
+    """Scaled keep-mask from the in-kernel PRNG (call order matters —
+    forward and backward must generate masks in the same sequence)."""
+    bits = pltpu.prng_random_bits(shape)
+    threshold = jnp.uint32(min(int(keep_prob * 4294967296.0), 4294967295))
+    keep = pltpu.bitcast(bits, jnp.uint32) < threshold
+    return jnp.where(keep, 1.0 / keep_prob, 0.0)
+
+
+def _ln_fwd(v, scale, bias):
+    mu = jnp.mean(v, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(v - mu), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + LN_EPS)
+    vhat = (v - mu) * inv
+    return vhat * scale + bias, vhat, inv
+
+
+def _ln_bwd(dy, vhat, inv, scale):
+    """Returns (dv, dscale_partial, dbias_partial)."""
+    n = vhat.shape[-1]
+    dvhat = dy * scale
+    m1 = jnp.mean(dvhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dvhat * vhat, axis=-1, keepdims=True)
+    dv = inv * (dvhat - m1 - vhat * m2)
+    dscale = jnp.sum(dy * vhat, axis=(0, 1))
+    dbias = jnp.sum(dy, axis=(0, 1))
+    del n
+    return dv, dscale, dbias
+
+
+def _mm(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _layer_fwd_core(x, p, *, use_conv, use_ffn, keep_prob, seeded):
+    """Shared forward math on an f32 [BT, T, D] block.  Returns every
+    intermediate the backward needs (recomputed there)."""
+    bt, t, d = x.shape
+    x2 = x.reshape(bt * t, d)
+    xz = _mm(x2, p["w_in"]).reshape(bt, t, -1)
+    c = xz.shape[-1] // 2
+    xb, z = xz[..., :c], xz[..., c:]
+    if use_conv:
+        u = _conv_fwd(xb, p["wc"], p["bc"])
+        xc = _silu(u)
+    else:
+        u = xb
+        xc = xb
+    alpha, beta, sr, si, s = _gate_math(xc, p["wg"], p["bg"], p["lam"])
+    h = _scan_body(beta * xc, alpha)
+    sz = jax.nn.sigmoid(z)
+    gate = z * sz  # silu(z)
+    yin = (gate * h).reshape(bt * t, c)
+    y = _mm(yin, p["w_out"]).reshape(bt, t, d)
+
+    if seeded and keep_prob < 1.0:
+        m1 = _dropout_mask(y.shape, keep_prob)
+        y = y * m1
+    r1_in = y + x
+    r1, vhat1, inv1 = _ln_fwd(r1_in, p["ln1_s"], p["ln1_b"])
+
+    if not use_ffn:
+        return dict(
+            xb=xb, z=z, u=u, xc=xc, alpha=alpha, beta=beta, sr=sr, si=si,
+            s=s, h=h, sz=sz, gate=gate, vhat1=vhat1, inv1=inv1, out=r1,
+        )
+
+    r1f = r1.reshape(bt * t, d)
+    f1 = _mm(r1f, p["w1"]) + p["b1"]
+    f1 = f1.reshape(bt, t, -1)
+    sf1 = jax.nn.sigmoid(f1)
+    a1 = f1 * sf1  # silu
+    if seeded and keep_prob < 1.0:
+        m2 = _dropout_mask(a1.shape, keep_prob)
+        a1d = a1 * m2
+    else:
+        a1d = a1
+    f2 = _mm(a1d.reshape(bt * t, -1), p["w2"]) + p["b2"]
+    f2 = f2.reshape(bt, t, d)
+    if seeded and keep_prob < 1.0:
+        m3 = _dropout_mask(f2.shape, keep_prob)
+        f2d = f2 * m3
+    else:
+        f2d = f2
+    out, vhat2, inv2 = _ln_fwd(f2d + r1, p["ln2_s"], p["ln2_b"])
+    return dict(
+        xb=xb, z=z, u=u, xc=xc, alpha=alpha, beta=beta, sr=sr, si=si, s=s,
+        h=h, sz=sz, gate=gate, vhat1=vhat1, inv1=inv1, r1=r1, f1=f1,
+        sf1=sf1, a1=a1, a1d=a1d, vhat2=vhat2, inv2=inv2, out=out,
+    )
+
+
+def _params_from_refs(refs, use_ffn):
+    names = ["w_in", "wc", "bc", "wg", "bg", "lam", "w_out", "ln1_s", "ln1_b"]
+    if use_ffn:
+        names += ["w1", "b1", "w2", "b2", "ln2_s", "ln2_b"]
+    return {n: r[:].astype(jnp.float32) for n, r in zip(names, refs)}
+
+
+def _fwd_kernel(seed_ref, x_ref, *refs, use_conv, use_ffn, keep_prob):
+    out_ref = refs[-1]
+    param_refs = refs[:-1]
+    if keep_prob < 1.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    x = x_ref[:].astype(jnp.float32)
+    p = _params_from_refs(param_refs, use_ffn)
+    res = _layer_fwd_core(
+        x, p, use_conv=use_conv, use_ffn=use_ffn,
+        keep_prob=keep_prob, seeded=True,
+    )
+    out_ref[:] = res["out"].astype(out_ref.dtype)
+
+
+def _bwd_kernel(seed_ref, x_ref, dout_ref, *refs, use_conv, use_ffn, keep_prob):
+    n_params = 15 if use_ffn else 9
+    param_refs = refs[:n_params]
+    dx_ref = refs[n_params]
+    grad_refs = refs[n_params + 1 :]
+    first = pl.program_id(0) == 0
+
+    if keep_prob < 1.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    x = x_ref[:].astype(jnp.float32)
+    dout = dout_ref[:].astype(jnp.float32)
+    p = _params_from_refs(param_refs, use_ffn)
+    bt, t, d = x.shape
+
+    # --- recompute forward, regenerating identical dropout masks -------
+    x2 = x.reshape(bt * t, d)
+    xz = _mm(x2, p["w_in"]).reshape(bt, t, -1)
+    c = xz.shape[-1] // 2
+    xb, z = xz[..., :c], xz[..., c:]
+    if use_conv:
+        u = _conv_fwd(xb, p["wc"], p["bc"])
+        sg_u = jax.nn.sigmoid(u)
+        xc = u * sg_u
+    else:
+        xc = xb
+    alpha, beta, sr, si, s = _gate_math(xc, p["wg"], p["bg"], p["lam"])
+    h = _scan_body(beta * xc, alpha)
+    sz = jax.nn.sigmoid(z)
+    gate = z * sz
+    yin = (gate * h).reshape(bt * t, c)
+    y = _mm(yin, p["w_out"]).reshape(bt, t, d)
+    if keep_prob < 1.0:
+        m1 = _dropout_mask(y.shape, keep_prob)
+        yd = y * m1
+    else:
+        m1 = None
+        yd = y
+    r1, vhat1, inv1 = _ln_fwd(yd + x, p["ln1_s"], p["ln1_b"])
+
+    if use_ffn:
+        r1f = r1.reshape(bt * t, d)
+        f1 = (_mm(r1f, p["w1"]) + p["b1"]).reshape(bt, t, -1)
+        sf1 = jax.nn.sigmoid(f1)
+        a1 = f1 * sf1
+        if keep_prob < 1.0:
+            m2 = _dropout_mask(a1.shape, keep_prob)
+            a1d = a1 * m2
+        else:
+            m2 = None
+            a1d = a1
+        f2 = (_mm(a1d.reshape(bt * t, -1), p["w2"]) + p["b2"]).reshape(bt, t, d)
+        if keep_prob < 1.0:
+            m3 = _dropout_mask(f2.shape, keep_prob)
+            f2d = f2 * m3
+        else:
+            m3 = None
+            f2d = f2
+        _, vhat2, inv2 = _ln_fwd(f2d + r1, p["ln2_s"], p["ln2_b"])
+
+    # --- backward ------------------------------------------------------
+    grads = {}
+    if use_ffn:
+        dv2, grads["ln2_s"], grads["ln2_b"] = _ln_bwd(
+            dout, vhat2, inv2, p["ln2_s"]
+        )
+        df2 = dv2 * m3 if m3 is not None else dv2
+        dr1 = dv2  # residual branch
+        df2_2 = df2.reshape(bt * t, d)
+        grads["w2"] = _mm(a1d.reshape(bt * t, -1).T, df2_2)
+        grads["b2"] = jnp.sum(df2_2, axis=0)
+        da1d = _mm(df2_2, p["w2"].T).reshape(bt, t, -1)
+        da1 = da1d * m2 if m2 is not None else da1d
+        # silu'
+        df1 = da1 * sf1 * (1.0 + f1 * (1.0 - sf1))
+        df1_2 = df1.reshape(bt * t, -1)
+        grads["w1"] = _mm(r1.reshape(bt * t, d).T, df1_2)
+        grads["b1"] = jnp.sum(df1_2, axis=0)
+        dr1 = dr1 + _mm(df1_2, p["w1"].T).reshape(bt, t, d)
+    else:
+        dr1 = dout
+
+    dv1, grads["ln1_s"], grads["ln1_b"] = _ln_bwd(dr1, vhat1, inv1, p["ln1_s"])
+    dx = dv1  # residual into x
+    dy = dv1 * m1 if m1 is not None else dv1
+
+    dy2 = dy.reshape(bt * t, d)
+    grads["w_out"] = _mm(yin.T, dy2)
+    dyin = _mm(dy2, p["w_out"].T).reshape(bt, t, c)
+    dgate = dyin * h
+    dh = dyin * gate
+    dz = dgate * sz * (1.0 + z * (1.0 - sz))
+
+    # BD-LRU backward (math of fused_bdlru._bwd_kernel)
+    a_shift = _shift_left(alpha, 1, fill=1.0)
+    d_states = _scan_body(dh, a_shift, reverse=True)
+    h_prev = _shift_right(h, 1)
+    d_a_scan = h_prev * d_states
+    d_beta = d_states * xc
+    dxc = d_states * beta
+    d_i = d_beta * s * si * (1.0 - si)
+    d_a = d_a_scan - d_beta * si * alpha / s
+    spl = jax.nn.softplus(p["lam"])
+    d_r = -d_a * alpha * spl * sr * (1.0 - sr)
+    grads["lam"] = jnp.sum(-d_a * alpha * sr * jax.nn.sigmoid(p["lam"]), axis=(0, 1))
+    dg = jnp.concatenate([d_r, d_i], axis=-1).reshape(bt * t, 2 * c)
+    xc2 = xc.reshape(bt * t, c)
+    dxc = dxc + _mm(dg, p["wg"].T).reshape(bt, t, c)
+    grads["wg"] = _mm(xc2.T, dg)
+    grads["bg"] = jnp.sum(dg, axis=0)
+
+    if use_conv:
+        kk = p["wc"].shape[0]
+        du = dxc * sg_u * (1.0 + u * (1.0 - sg_u))
+        dxb = du * p["wc"][kk - 1]
+        for j in range(1, kk):
+            dxb = dxb + _shift_left(du, j) * p["wc"][kk - 1 - j]
+        dwc_rows = []
+        for kidx in range(kk):
+            xs = _shift_right(xb, kk - 1 - kidx)
+            dwc_rows.append(jnp.sum(xs * du, axis=(0, 1)))
+        grads["wc"] = jnp.stack(dwc_rows, axis=0)
+        grads["bc"] = jnp.sum(du, axis=(0, 1))
+    else:
+        dxb = dxc
+        grads["wc"] = jnp.zeros_like(p["wc"])
+        grads["bc"] = jnp.zeros_like(p["bc"])
+
+    dxz = jnp.concatenate([dxb, dz], axis=-1).reshape(bt * t, 2 * c)
+    grads["w_in"] = _mm(x2.T, dxz)
+    dx = dx + _mm(dxz, p["w_in"].T).reshape(bt, t, d)
+
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+    names = ["w_in", "wc", "bc", "wg", "bg", "lam", "w_out", "ln1_s", "ln1_b"]
+    if use_ffn:
+        names += ["w1", "b1", "w2", "b2", "ln2_s", "ln2_b"]
+
+    @pl.when(first)
+    def _():
+        for ref in grad_refs:
+            ref[:] = jnp.zeros_like(ref)
+
+    for name, ref in zip(names, grad_refs):
+        ref[:] += grads[name]
+
+
+def _interpret():
+    if jax.default_backend() == "tpu":
+        return False
+    # the TPU-semantics interpreter handles pltpu.prng_* on CPU (the
+    # plain HLO interpreter does not); note it stubs random bits to
+    # zeros, so dropout randomness is only real on hardware
+    return pltpu.InterpretParams()
+
+
+def _full_spec(shape):
+    return pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+
+
+_PARAM_NAMES = [
+    "w_in", "wc", "bc", "wg", "bg", "lam", "w_out", "ln1_s", "ln1_b",
+    "w1", "b1", "w2", "b2", "ln2_s", "ln2_b",
+]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("use_conv", "use_ffn", "dropout_p")
+)
+def _layer_fwd(x, seed, params, use_conv, use_ffn, dropout_p):
+    b, t, d = x.shape
+    bt = _block_rows(t, _FWD_BUDGET)
+    xp = _pad_to(x, 0, bt, 0.0)
+    bp = xp.shape[0]
+    block = pl.BlockSpec((bt, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    names = _PARAM_NAMES if use_ffn else _PARAM_NAMES[:9]
+    plist = [params[n] for n in names]
+    out = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel,
+            use_conv=use_conv, use_ffn=use_ffn, keep_prob=1.0 - dropout_p,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bp, t, d), x.dtype),
+        grid=(bp // bt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            block,
+            *[_full_spec(p.shape) for p in plist],
+        ],
+        out_specs=block,
+        interpret=_interpret(),
+    )(seed, xp, *plist)
+    return out[:b]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("use_conv", "use_ffn", "dropout_p")
+)
+def _layer_bwd(x, dout, seed, params, use_conv, use_ffn, dropout_p):
+    b, t, d = x.shape
+    bt = _block_rows(t, _BWD_BUDGET)
+    xp = _pad_to(x, 0, bt, 0.0)
+    dp = _pad_to(dout, 0, bt, 0.0)
+    bp = xp.shape[0]
+    block = pl.BlockSpec((bt, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    names = _PARAM_NAMES if use_ffn else _PARAM_NAMES[:9]
+    plist = [params[n] for n in names]
+    outs = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel,
+            use_conv=use_conv, use_ffn=use_ffn, keep_prob=1.0 - dropout_p,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bp, t, d), x.dtype),
+            *[jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in plist],
+        ),
+        grid=(bp // bt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            block,
+            block,
+            *[_full_spec(p.shape) for p in plist],
+        ],
+        out_specs=(
+            block,
+            *[_full_spec(p.shape) for p in plist],
+        ),
+        interpret=_interpret(),
+    )(seed, xp, dp, *plist)
+    dx = outs[0][:b]
+    dparams = {n: g for n, g in zip(names, outs[1:])}
+    return dx, dparams
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_recurrent_layer(x, seed, params, use_conv, use_ffn, dropout_p):
+    """Complete RecurrentLayer as one Pallas kernel.
+
+    x: [B, T, D] block input; seed: int32[1] per-step dropout seed;
+    params: dict with w_in [D,2C], wc [K,C], bc [C], wg [C,2C], bg [2C],
+    lam [C], w_out [C,D], ln1_s/ln1_b [D], and (if use_ffn) w1 [D,4D],
+    b1 [4D], w2 [4D,D], b2 [D], ln2_s/ln2_b [D].  All params fp32.
+    Static flags: use_conv, use_ffn, dropout_p (0.0 disables PRNG).
+    """
+    return _layer_fwd(x, seed, params, use_conv, use_ffn, dropout_p)
+
+
+def _vjp_fwd(x, seed, params, use_conv, use_ffn, dropout_p):
+    out = _layer_fwd(x, seed, params, use_conv, use_ffn, dropout_p)
+    return out, (x, seed, params)
+
+
+def _vjp_bwd(use_conv, use_ffn, dropout_p, res, dout):
+    x, seed, params = res
+    dx, dparams = _layer_bwd(x, dout, seed, params, use_conv, use_ffn, dropout_p)
+    return dx, None, dparams
+
+
+fused_recurrent_layer.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def supports(d: int, c: int) -> bool:
+    return d <= 128 and c <= 128

@@ -1,0 +1,179 @@
+"""Whole-layer fused kernel vs the unfused composition: forward + full
+VJP in deterministic mode (tight tolerance), dropout-mask statistics and
+fwd/bwd mask consistency, and model-level equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from datamining_recblr_tpu.ops.fused_layer import fused_recurrent_layer
+
+D, C, K = 64, 128, 4
+
+
+def _params(rng, use_ffn=True):
+    r = lambda *s: jnp.asarray((0.1 * rng.standard_normal(s)).astype(np.float32))
+    p = {
+        "w_in": r(D, 2 * C),
+        "wc": r(K, C),
+        "bc": r(C),
+        "wg": r(C, 2 * C),
+        "bg": r(2 * C),
+        "lam": jnp.asarray(np.linspace(-2.2, -6.9, C).astype(np.float32)),
+        "w_out": r(C, D),
+        "ln1_s": jnp.ones((D,)),
+        "ln1_b": jnp.zeros((D,)),
+    }
+    if use_ffn:
+        p.update(
+            w1=r(D, 4 * D), b1=r(4 * D), w2=r(4 * D, D), b2=r(D),
+            ln2_s=jnp.ones((D,)), ln2_b=jnp.zeros((D,)),
+        )
+    return p
+
+
+def _unfused(x, p, use_conv=True, use_ffn=True):
+    from datamining_recblr_tpu.ops.conv import causal_depthwise_conv
+    from datamining_recblr_tpu.ops.scan import linear_scan_xla
+
+    def ln(v, s, b):
+        mu = v.mean(-1, keepdims=True)
+        var = ((v - mu) ** 2).mean(-1, keepdims=True)
+        return (v - mu) * jax.lax.rsqrt(var + 1e-12) * s + b
+
+    xz = x @ p["w_in"]
+    xb, z = jnp.split(xz, 2, axis=-1)
+    if use_conv:
+        xb = jax.nn.silu(causal_depthwise_conv(xb, p["wc"], p["bc"]))
+    g = xb @ p["wg"] + p["bg"]
+    r, i = jnp.split(g, 2, axis=-1)
+    alpha = jnp.exp(-jax.nn.softplus(p["lam"]) * jax.nn.sigmoid(r))
+    beta = jnp.sqrt(1 - alpha**2 + 1e-8) * jax.nn.sigmoid(i)
+    h = linear_scan_xla(alpha, beta * xb)
+    y = (jax.nn.silu(z) * h) @ p["w_out"]
+    r1 = ln(y + x, p["ln1_s"], p["ln1_b"])
+    if not use_ffn:
+        return r1
+    f = jax.nn.silu(r1 @ p["w1"] + p["b1"]) @ p["w2"] + p["b2"]
+    return ln(f + r1, p["ln2_s"], p["ln2_b"])
+
+
+@pytest.mark.parametrize("use_conv", [True, False])
+@pytest.mark.parametrize("use_ffn", [True, False])
+def test_fused_layer_forward(use_conv, use_ffn):
+    rng = np.random.default_rng(int(use_conv) * 2 + int(use_ffn))
+    p = _params(rng, use_ffn=use_ffn)
+    if not use_ffn:
+        p = {k: v for k, v in p.items() if not k.startswith(("w1", "b1", "w2", "b2", "ln2"))}
+    x = jnp.asarray(rng.standard_normal((5, 12, D)).astype(np.float32))
+    seed = jnp.zeros((1,), jnp.int32)
+    got = fused_recurrent_layer(x, seed, p, use_conv, use_ffn, 0.0)
+    want = _unfused(x, p, use_conv, use_ffn)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
+
+
+def test_fused_layer_vjp():
+    rng = np.random.default_rng(7)
+    p = _params(rng)
+    x = jnp.asarray(rng.standard_normal((6, 10, D)).astype(np.float32))
+    seed = jnp.zeros((1,), jnp.int32)
+    cot = jnp.asarray(rng.standard_normal((6, 10, D)).astype(np.float32))
+
+    _, vjp_f = jax.vjp(lambda x_, p_: fused_recurrent_layer(x_, seed, p_, True, True, 0.0), x, p)
+    dx_f, dp_f = vjp_f(cot)
+    _, vjp_u = jax.vjp(lambda x_, p_: _unfused(x_, p_), x, p)
+    dx_u, dp_u = vjp_u(cot)
+
+    np.testing.assert_allclose(np.asarray(dx_f), np.asarray(dx_u), rtol=5e-4, atol=5e-5)
+    for k in dp_u:
+        np.testing.assert_allclose(
+            np.asarray(dp_f[k]), np.asarray(dp_u[k]), rtol=5e-4, atol=5e-5,
+            err_msg=k,
+        )
+
+
+def test_dropout_statistics_and_determinism():
+    rng = np.random.default_rng(3)
+    p = _params(rng)
+    x = jnp.asarray(rng.standard_normal((8, 16, D)).astype(np.float32))
+    seed = jnp.asarray([1234], jnp.int32)
+
+    out1 = fused_recurrent_layer(x, seed, p, True, True, 0.5)
+    out2 = fused_recurrent_layer(x, seed, p, True, True, 0.5)
+    # same seed -> identical dropout
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    if jax.default_backend() == "tpu":
+        # the CPU interpreter stubs the TPU PRNG to zeros, so seed
+        # sensitivity is only observable on hardware
+        out3 = fused_recurrent_layer(x, jnp.asarray([99], jnp.int32), p, True, True, 0.5)
+        assert not np.allclose(np.asarray(out1), np.asarray(out3))
+    # p=0 matches deterministic
+    out_d = fused_recurrent_layer(x, seed, p, True, True, 0.0)
+    np.testing.assert_allclose(
+        np.asarray(out_d), np.asarray(_unfused(x, p)), rtol=3e-5, atol=3e-5
+    )
+
+
+def test_dropout_grads_consistent_with_fwd():
+    """Finite-difference check through the dropout path: the backward
+    must regenerate the same masks as the forward."""
+    rng = np.random.default_rng(11)
+    p = _params(rng, use_ffn=False)
+    p = {k: v for k, v in p.items() if not k.startswith(("w1", "b1", "w2", "b2", "ln2"))}
+    x = jnp.asarray(rng.standard_normal((2, 6, D)).astype(np.float32))
+    seed = jnp.asarray([42], jnp.int32)
+
+    def loss(x_):
+        return jnp.sum(jnp.sin(fused_recurrent_layer(x_, seed, p, True, False, 0.4)))
+
+    g = jax.grad(loss)(x)
+    eps = 1e-3
+    for idx in [(0, 0, 3), (1, 4, 10)]:
+        plus = np.asarray(x).copy(); plus[idx] += eps
+        minus = np.asarray(x).copy(); minus[idx] -= eps
+        num = (loss(jnp.asarray(plus)) - loss(jnp.asarray(minus))) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(g)[idx], float(num), rtol=5e-2, atol=1e-3)
+
+
+def test_model_uses_fused_layer_and_matches():
+    from datamining_recblr_tpu.config import Config
+    from datamining_recblr_tpu.models import get_model
+
+    def build(impl):
+        cfg = Config(
+            model="RecBLR",
+            config_dict={
+                "hidden_size": 64, "num_layers": 2,
+                "use_pallas_scan": impl, "MAX_ITEM_LIST_LENGTH": 14,
+            },
+        )
+        return get_model("RecBLR")(cfg, n_items=77, max_seq_len=14)
+
+    m_f = build("always")
+    m_r = build("never")
+    assert m_f._use_fused_layer()
+    params = m_r.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    lens = rng.integers(1, 15, size=4).astype(np.int32)
+    seq = rng.integers(1, 77, size=(4, 14)).astype(np.int32)
+    seq = np.where(np.arange(14)[None] < lens[:, None], seq, 0)
+    out_f = m_f.forward(params, jnp.asarray(seq), jnp.asarray(lens))
+    out_r = m_r.forward(params, jnp.asarray(seq), jnp.asarray(lens))
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_r), rtol=5e-4, atol=5e-5
+    )
+
+    batch = {
+        "item_seq": jnp.asarray(seq),
+        "item_seq_len": jnp.asarray(lens),
+        "pos_item": jnp.asarray(rng.integers(1, 77, size=4)),
+        "weight": jnp.ones((4,)),
+    }
+    # grads agree in deterministic-equivalent setting (dropout 0)
+    for m in (m_f, m_r):
+        m.dropout_prob = 0.0
+    gf = jax.grad(lambda p: m_f.calculate_loss(p, batch, jax.random.PRNGKey(1)))(params)
+    gr = jax.grad(lambda p: m_r.calculate_loss(p, batch, jax.random.PRNGKey(1)))(params)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-5)
