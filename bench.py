@@ -85,16 +85,22 @@ def main():
         for s in range(k):
             idx = jnp.asarray(host.integers(0, n, size=batch), jnp.int32)
             params, opt_state, loss = jitted(params, opt_state, idx, t0_step + s)
-        loss.block_until_ready()
-        return loss
+        # fetch the scalar to the host: a true sync even on backends
+        # where block_until_ready returns before the queue drains
+        return float(loss)
 
     run(warmup, 0)
+    # differential timing removes the fixed host<->device round-trip
     t0 = time.perf_counter()
-    loss = run(steps, warmup)
-    dt = time.perf_counter() - t0
-    examples_per_s = batch * steps / dt
+    run(steps, warmup)
+    t_short = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    loss = run(3 * steps, warmup + steps)
+    t_long = time.perf_counter() - t0
+    dt = max(t_long - t_short, 1e-9)
+    examples_per_s = batch * (2 * steps) / dt
 
-    assert np.isfinite(float(loss)), "training diverged"
+    assert np.isfinite(loss), "training diverged"
     print(
         json.dumps(
             {
