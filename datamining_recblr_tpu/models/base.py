@@ -63,6 +63,9 @@ class SequentialModel:
         mesh_shape = config.get("mesh_shape") or {}
         mult = int(config.get("vocab_multiple") or mesh_shape.get("model", 1) or 1)
         self.n_items_padded = -(-self.n_items // mult) * mult
+        # set by the Trainer when running over a Mesh; lets kernels wrap
+        # themselves in shard_map over the data axis
+        self.mesh = None
 
     # -- to implement ------------------------------------------------------
     def init_params(self, rng):

@@ -221,12 +221,39 @@ class RecBLR(SequentialModel):
                 )
             else:
                 seeds = jnp.zeros((len(params["layers"]), 1), jnp.int32)
-            for li, layer in enumerate(params["layers"]):
-                flat = self._flat_layer_params(layer, not self.disable_ffn)
-                x = fused_recurrent_layer(
-                    x, seeds[li], flat,
-                    not self.disable_conv1d, not self.disable_ffn, p_drop,
+            use_conv = not self.disable_conv1d
+            use_ffn = not self.disable_ffn
+
+            if self.mesh is not None and "data" in self.mesh.shape:
+                # under a mesh, run the kernel per-shard over the data
+                # axis via shard_map (pallas has no GSPMD partitioning
+                # rule); fold the device index into the dropout seed so
+                # shards draw independent masks
+                import functools as _ft
+
+                from jax.sharding import PartitionSpec as _P
+
+                @_ft.partial(
+                    jax.shard_map,
+                    mesh=self.mesh,
+                    in_specs=(_P("data"), _P(), _P()),
+                    out_specs=_P("data"),
+                    check_vma=False,
                 )
+                def _layer_sharded(xs, seed, flat):
+                    seed = seed + jax.lax.axis_index("data").astype(jnp.int32) * 1000003
+                    return fused_recurrent_layer(
+                        xs, seed, flat, use_conv, use_ffn, p_drop
+                    )
+
+                for li, layer in enumerate(params["layers"]):
+                    flat = self._flat_layer_params(layer, use_ffn)
+                    x = _layer_sharded(x, seeds[li], flat)
+                return L.gather_last(x, item_seq_len)
+
+            for li, layer in enumerate(params["layers"]):
+                flat = self._flat_layer_params(layer, use_ffn)
+                x = fused_recurrent_layer(x, seeds[li], flat, use_conv, use_ffn, p_drop)
             return L.gather_last(x, item_seq_len)
 
         for layer in params["layers"]:

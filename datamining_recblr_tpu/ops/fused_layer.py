@@ -318,13 +318,16 @@ def _bwd_kernel(seed_ref, x_ref, dout_ref, *refs, use_conv, use_ffn, keep_prob):
         ref[:] += grads[name]
 
 
-def _interpret():
+def _interpret(keep_prob=1.0):
     if jax.default_backend() == "tpu":
         return False
-    # the TPU-semantics interpreter handles pltpu.prng_* on CPU (the
-    # plain HLO interpreter does not); note it stubs random bits to
-    # zeros, so dropout randomness is only real on hardware
-    return pltpu.InterpretParams()
+    if keep_prob < 1.0:
+        # the TPU-semantics interpreter handles pltpu.prng_* on CPU (the
+        # plain HLO interpreter does not) but is much slower; note it
+        # stubs random bits to zeros, so dropout randomness is only real
+        # on hardware
+        return pltpu.InterpretParams()
+    return True
 
 
 def _full_spec(shape):
@@ -363,7 +366,7 @@ def _layer_fwd(x, seed, params, use_conv, use_ffn, dropout_p):
             *[_full_spec(p.shape) for p in plist],
         ],
         out_specs=block,
-        interpret=_interpret(),
+        interpret=_interpret(1.0 - dropout_p),
     )(seed, xp, *plist)
     return out[:b]
 
@@ -400,7 +403,7 @@ def _layer_bwd(x, dout, seed, params, use_conv, use_ffn, dropout_p):
             block,
             *[_full_spec(p.shape) for p in plist],
         ),
-        interpret=_interpret(),
+        interpret=_interpret(1.0 - dropout_p),
     )(seed, xp, dp, *plist)
     dx = outs[0][:b]
     dparams = {n: g for n, g in zip(names, outs[1:])}

@@ -55,6 +55,7 @@ class Trainer:
             from datamining_recblr_tpu.parallel.mesh import make_mesh
 
             self.mesh = make_mesh(dict(mesh_shape))
+            model.mesh = self.mesh  # lets kernels shard_map over 'data'
         self.evaluator = Evaluator(model, config, mesh=self.mesh)
 
         if rng is None:
