@@ -113,39 +113,63 @@ class BERT4Rec(SequentialModel):
 
     # ------------------------------------------------------------------
     def calculate_loss(self, params, batch, rng):
+        """Cloze loss with the reference's fixed mask budget
+        (``mask_item_length = mask_ratio * max_len``, bert4rec.py:61):
+        positions are masked with prob ``mask_ratio`` (capped at the
+        budget), the masked hidden states are gathered to a
+        [B, mask_len, H] block, and CE/BPR runs only there — logits
+        never materialize beyond O(B * mask_len * |V|), matching the
+        memory shape of the reference's multi-hot bmm
+        (bert4rec.py:141-181)."""
         item_seq = batch["item_seq"]
         row_w = batch.get("weight")
+        b, t = item_seq.shape
+        mask_len = max(1, int(self.mask_ratio * self.max_seq_length_eff(t)))
         rng, k_mask, k_fwd, k_neg = jax.random.split(rng, 4)
 
         real = item_seq != 0
-        cloze = jnp.logical_and(
+        want = jnp.logical_and(
             jax.random.bernoulli(k_mask, self.mask_ratio, item_seq.shape), real
         )
+        # cap the number of masked positions at the budget
+        cloze = jnp.logical_and(want, jnp.cumsum(want, axis=1) <= mask_len)
         masked_seq = jnp.where(cloze, self.mask_token, item_seq)
         out = self.encode(params, masked_seq, deterministic=False, rng=k_fwd)
 
-        w = cloze.astype(jnp.float32)
+        # stable argsort brings masked positions (in order) to the front
+        order = jnp.argsort(~cloze, axis=1, stable=True)[:, :mask_len]  # [B, L_m]
+        sel_out = jnp.take_along_axis(out, order[..., None], axis=1)    # [B, L_m, H]
+        sel_tgt = jnp.take_along_axis(item_seq, order, axis=1)          # [B, L_m]
+        sel_valid = jnp.take_along_axis(cloze, order, axis=1)           # [B, L_m]
+
+        w = sel_valid.astype(jnp.float32)
         if row_w is not None:
             w = w * row_w[:, None]
         denom = jnp.maximum(jnp.sum(w), 1.0)
 
         if self.loss_type == "BPR":
-            pos = item_seq
-            neg = jax.random.randint(k_neg, item_seq.shape, 1, self.n_items)
-            pos_emb = params["item_embedding"][pos].astype(out.dtype)
-            neg_emb = params["item_embedding"][neg].astype(out.dtype)
-            pos_score = jnp.sum(out * pos_emb, -1) + params["output_bias"][pos]
-            neg_score = jnp.sum(out * neg_emb, -1) + params["output_bias"][neg]
+            neg = jax.random.randint(k_neg, sel_tgt.shape, 1, self.n_items)
+            pos_emb = params["item_embedding"][sel_tgt].astype(sel_out.dtype)
+            neg_emb = params["item_embedding"][neg].astype(sel_out.dtype)
+            pos_score = jnp.sum(sel_out * pos_emb, -1) + params["output_bias"][sel_tgt]
+            neg_score = jnp.sum(sel_out * neg_emb, -1) + params["output_bias"][neg]
             # reference bert4rec.py:194-197: -sum(log(1e-14 + sigmoid(diff)))/count
             loss = -jnp.log(1e-14 + jax.nn.sigmoid(pos_score - neg_score))
             return jnp.sum(loss * w) / denom
 
-        table = params["item_embedding"][: self.n_items].astype(out.dtype)
+        table = params["item_embedding"][: self.n_items].astype(sel_out.dtype)
         logits = (
-            jnp.einsum("bth,vh->btv", out, table, preferred_element_type=jnp.float32)
+            jnp.einsum(
+                "bmh,vh->bmv", sel_out, table, preferred_element_type=jnp.float32
+            )
             + params["output_bias"].astype(jnp.float32)
         )
         logz = jax.scipy.special.logsumexp(logits, axis=-1)
-        tgt = jnp.take_along_axis(logits, item_seq[..., None], axis=-1)[..., 0]
+        tgt = jnp.take_along_axis(
+            logits, jnp.maximum(sel_tgt, 0)[..., None], axis=-1
+        )[..., 0]
         nll = logz - tgt
         return jnp.sum(nll * w) / denom
+
+    def max_seq_length_eff(self, t):
+        return self.max_seq_len if self.max_seq_len else t
