@@ -10,12 +10,12 @@ token after the sequence and shifts left one step
 (``reconstruct_test_data``, ``:109-120``), scoring against the table
 without the mask row (``:236-238``).
 
-TPU-first deviation (math-equivalent): the reference gathers a fixed
-``mask_ratio * max_len`` budget of masked positions via a multi-hot
-bmm (``bert4rec.py:141-181``) — a memory workaround for the [B, T, V]
-logits.  Here the cloze mask is drawn on device inside the jitted
-train step, the CE is computed at *all* positions, and a 0/1 mask
-weights the sum — identical loss value, one static shape, no gather.
+TPU-first deviation (math-equivalent): the reference's RecBole MLM
+transform draws the cloze mask host-side per epoch; here it is drawn
+on device inside the jitted train step.  The fixed
+``mask_ratio * max_len`` position budget and the masked-position
+gather match the reference's multi-hot scheme (``bert4rec.py:141-181``)
+so logits stay O(B * mask_len * |V|).
 """
 
 from __future__ import annotations
@@ -71,6 +71,7 @@ class BERT4Rec(SequentialModel):
             rng, sub = jax.random.split(rng)
             x = L.dropout(sub, x, self.hidden_dropout_prob, deterministic)
         mask = L.attention_mask(item_seq, bidirectional=True)
+        lens = jnp.sum((item_seq != 0).astype(jnp.int32), axis=1)
         x = L.transformer_encoder_apply(
             params["encoder"],
             x,
@@ -81,6 +82,8 @@ class BERT4Rec(SequentialModel):
             hidden_act=self.hidden_act,
             deterministic=deterministic,
             rng=rng,
+            lens=lens,
+            causal=False,
         )
         x = jax.nn.gelu(L.dense(params["output_ffn"], x))
         return L.layer_norm(params["output_ln"], x)

@@ -111,8 +111,15 @@ def transformer_encoder_init(
     return layers
 
 
+def _use_fused_attention():
+    import jax as _jax
+
+    return _jax.default_backend() == "tpu"
+
+
 def _multi_head_attention(
-    p, x, attn_mask, n_heads, *, hidden_dropout, attn_dropout, deterministic, rng
+    p, x, attn_mask, n_heads, *, hidden_dropout, attn_dropout, deterministic, rng,
+    lens=None, causal=None,
 ):
     b, t, h = x.shape
     d_head = h // n_heads
@@ -124,16 +131,31 @@ def _multi_head_attention(
     k = split_heads(dense(p["k"], x))
     v = split_heads(dense(p["v"], x))
 
-    scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-    ) / jnp.sqrt(jnp.asarray(d_head, jnp.float32))
-    scores = scores + attn_mask  # additive mask: 0 keep / -10000 drop
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    if rng is not None:
-        rng, sub = jax.random.split(rng)
-        probs = dropout(sub, probs, attn_dropout, deterministic)
-    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
-    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, h)
+    if lens is not None and causal is not None and _use_fused_attention():
+        # fused Pallas attention: the [B,H,T,T] probabilities stay in
+        # VMEM (ops/attention.py); probs dropout runs in-kernel
+        from datamining_recblr_tpu.ops.attention import fused_attention
+
+        training = rng is not None and not deterministic
+        p_attn = float(attn_dropout) if training else 0.0
+        if training:
+            rng, k_seed = jax.random.split(rng)
+            seed = jax.random.randint(k_seed, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+        else:
+            seed = jnp.zeros((1,), jnp.int32)
+        ctx = fused_attention(q, k, v, lens, seed, bool(causal), p_attn)
+    else:
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(jnp.asarray(d_head, jnp.float32))
+        scores = scores + attn_mask  # additive mask: 0 keep / -10000 drop
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        if rng is not None:
+            rng, sub = jax.random.split(rng)
+            probs = dropout(sub, probs, attn_dropout, deterministic)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+    ctx = ctx.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, t, h)
     out = dense(p["attn_out"], ctx)
     if rng is not None:
         rng, sub = jax.random.split(rng)
@@ -152,8 +174,14 @@ def transformer_encoder_apply(
     hidden_act="gelu",
     deterministic=True,
     rng=None,
+    lens=None,
+    causal=None,
 ):
-    """Apply the post-LN transformer stack; returns final hidden states."""
+    """Apply the post-LN transformer stack; returns final hidden states.
+
+    When ``lens``/``causal`` are given and a TPU backend is active, the
+    score/softmax/context block runs in the fused Pallas attention
+    kernel instead of XLA einsums."""
     act = activation(hidden_act)
     for p in layers:
         if rng is not None:
@@ -169,6 +197,8 @@ def transformer_encoder_apply(
             attn_dropout=attn_dropout,
             deterministic=deterministic,
             rng=sub1,
+            lens=lens,
+            causal=causal,
         )
         y = act(dense(p["ffn_1"], x))
         y = dense(p["ffn_2"], y)

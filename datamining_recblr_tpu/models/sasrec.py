@@ -52,6 +52,7 @@ class SASRec(SequentialModel):
             rng, sub = jax.random.split(rng)
             x = L.dropout(sub, x, self.hidden_dropout_prob, deterministic)
         mask = L.attention_mask(item_seq, bidirectional=False)
+        lens = jnp.sum((item_seq != 0).astype(jnp.int32), axis=1)
         x = L.transformer_encoder_apply(
             params["encoder"],
             x,
@@ -62,5 +63,7 @@ class SASRec(SequentialModel):
             hidden_act=self.hidden_act,
             deterministic=deterministic,
             rng=rng,
+            lens=lens,
+            causal=True,
         )
         return L.gather_last(x, item_seq_len)

@@ -1,0 +1,226 @@
+"""Fused multi-head attention Pallas kernel (scores -> masked softmax
+-> probs dropout -> context) for the SASRec / BERT4Rec baselines.
+
+For the reference protocol's sequence lengths (T <= ~1000) the whole
+[T, T] score tile of one (batch-block, head) fits VMEM, so no online
+softmax is needed: one kernel computes Q K^T / sqrt(dh), adds the
+RecBole-parity additive mask (0 keep / -10000 drop: key-padding +
+optional causal — reference ``sasrec.py:107`` / ``bert4rec.py:132``),
+softmaxes in fp32, applies attention dropout with the in-kernel TPU
+PRNG, and multiplies by V — the [B, H, T, T] probability tensor never
+touches HBM (the XLA path materializes it twice per direction).
+
+The backward kernel recomputes probabilities (regenerating identical
+dropout masks from the same seed) and emits dQ/dK/dV in-kernel:
+
+    dV = P_drop^T dO ;  dP = dO V^T * mask_scale
+    dS = P * (dP - sum(dP * P, -1)) ;  dQ = dS K / s ;  dK = dS^T Q / s
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -10000.0  # RecBole additive mask value
+
+
+def _block_rows(t: int) -> int:
+    bt = 8
+    while bt > 1 and bt * t > 2048:
+        bt //= 2
+    return bt
+
+
+def _dropout_mask(shape, keep_prob):
+    bits = pltpu.prng_random_bits(shape)
+    threshold = jnp.uint32(min(int(keep_prob * 4294967296.0), 4294967295))
+    keep = pltpu.bitcast(bits, jnp.uint32) < threshold
+    return jnp.where(keep, 1.0 / keep_prob, 0.0)
+
+
+def _attn_mask(lens, t, causal):
+    """[BT, T, T] additive mask from per-row valid lengths."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (lens.shape[0], t, t), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (lens.shape[0], t, t), 2)
+    keep = col < lens[:, None, None]
+    if causal:
+        keep = jnp.logical_and(keep, col <= row)
+    return jnp.where(keep, 0.0, MASK_VALUE)
+
+
+def _probs(q, k, lens, causal, keep_prob, scale):
+    s = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    s = s + _attn_mask(lens, q.shape[1], causal)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    if keep_prob < 1.0:
+        pd = p * _dropout_mask(p.shape, keep_prob)
+    else:
+        pd = p
+    return p, pd
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, len_ref, o_ref, *, causal, keep_prob):
+    if keep_prob < 1.0:
+        pltpu.prng_seed(
+            seed_ref[0] + pl.program_id(0) * 131071 + pl.program_id(1)
+        )
+    q = q_ref[:, 0].astype(jnp.float32)  # [BT, T, dh] (head axis squeezed)
+    k = k_ref[:, 0].astype(jnp.float32)
+    v = v_ref[:, 0].astype(jnp.float32)
+    lens = len_ref[:, 0]
+    scale = 1.0 / jnp.sqrt(jnp.float32(q.shape[-1]))
+    _, pd = _probs(q, k, lens, causal, keep_prob, scale)
+    o = jax.lax.dot_general(
+        pd, v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:, 0] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel(
+    seed_ref, q_ref, k_ref, v_ref, len_ref, do_ref,
+    dq_ref, dk_ref, dv_ref, *, causal, keep_prob,
+):
+    if keep_prob < 1.0:
+        pltpu.prng_seed(
+            seed_ref[0] + pl.program_id(0) * 131071 + pl.program_id(1)
+        )
+    q = q_ref[:, 0].astype(jnp.float32)
+    k = k_ref[:, 0].astype(jnp.float32)
+    v = v_ref[:, 0].astype(jnp.float32)
+    do = do_ref[:, 0].astype(jnp.float32)
+    lens = len_ref[:, 0]
+    scale = 1.0 / jnp.sqrt(jnp.float32(q.shape[-1]))
+    p, pd_unused = _probs(q, k, lens, causal, keep_prob, scale)
+    # regenerate the dropout mask exactly as the forward consumed it
+    if keep_prob < 1.0:
+        # note _probs already drew the mask; redraw deterministically by
+        # reseeding (cheaper than returning it through two code paths)
+        pltpu.prng_seed(
+            seed_ref[0] + pl.program_id(0) * 131071 + pl.program_id(1)
+        )
+        mask = _dropout_mask(p.shape, keep_prob)
+    else:
+        mask = None
+
+    bmm = lambda a, b, dims: jax.lax.dot_general(
+        a, b, dimension_numbers=(dims, ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    pd = p * mask if mask is not None else p
+    # dV = P_drop^T @ dO : contract over T_query
+    dv = bmm(pd, do, ((1,), (1,)))              # [BT, T_k, dh]
+    dpd = bmm(do, v, ((2,), (2,)))              # [BT, T_q, T_k]
+    dp = dpd * mask if mask is not None else dpd
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = bmm(ds, k, ((2,), (1,))) * scale       # [BT, T_q, dh]
+    dk = bmm(ds, q, ((1,), (1,))) * scale       # [BT, T_k, dh]
+    dq_ref[:, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[:, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[:, 0] = dv.astype(dv_ref.dtype)
+
+
+def _interpret(keep_prob=1.0):
+    if jax.default_backend() == "tpu":
+        return False
+    return pltpu.InterpretParams() if keep_prob < 1.0 else True
+
+
+def _pad_b(x, bt):
+    rem = (-x.shape[0]) % bt
+    if rem == 0:
+        return x
+    pad = [(0, rem)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad)
+
+
+def _specs(bt, t, dh):
+    qkv = pl.BlockSpec(
+        (bt, 1, t, dh), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+    )
+    lens = pl.BlockSpec((bt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    return qkv, lens
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "dropout_p"))
+def _attn_fwd(q, k, v, lens, seed, causal, dropout_p):
+    b, h, t, dh = q.shape
+    bt = _block_rows(t)
+    qp, kp, vp = (_pad_b(a, bt) for a in (q, k, v))
+    lp = _pad_b(lens, bt)[:, None]
+    bp = qp.shape[0]
+    qkv_spec, len_spec = _specs(bt, t, dh)
+    out = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, causal=causal, keep_prob=1.0 - dropout_p
+        ),
+        out_shape=jax.ShapeDtypeStruct((bp, h, t, dh), q.dtype),
+        grid=(bp // bt, h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            qkv_spec, qkv_spec, qkv_spec, len_spec,
+        ],
+        out_specs=qkv_spec,
+        interpret=_interpret(1.0 - dropout_p),
+    )(seed, qp, kp, vp, lp)
+    return out[:b]
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "dropout_p"))
+def _attn_bwd(q, k, v, lens, seed, do, causal, dropout_p):
+    b, h, t, dh = q.shape
+    bt = _block_rows(t)
+    qp, kp, vp, dop = (_pad_b(a, bt) for a in (q, k, v, do))
+    lp = _pad_b(lens, bt)[:, None]
+    bp = qp.shape[0]
+    qkv_spec, len_spec = _specs(bt, t, dh)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, causal=causal, keep_prob=1.0 - dropout_p
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((bp, h, t, dh), q.dtype) for _ in range(3)
+        ),
+        grid=(bp // bt, h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            qkv_spec, qkv_spec, qkv_spec, len_spec, qkv_spec,
+        ],
+        out_specs=(qkv_spec, qkv_spec, qkv_spec),
+        interpret=_interpret(1.0 - dropout_p),
+    )(seed, qp, kp, vp, lp, dop)
+    return dq[:b], dk[:b], dv[:b]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_attention(q, k, v, lens, seed, causal, dropout_p):
+    """Masked softmax attention: q,k,v [B, H, T, dh]; lens [B] valid key
+    lengths; seed int32[1]; static causal flag and dropout_p.
+    Returns [B, H, T, dh]."""
+    return _attn_fwd(q, k, v, lens, seed, causal, dropout_p)
+
+
+def _fa_fwd(q, k, v, lens, seed, causal, dropout_p):
+    out = _attn_fwd(q, k, v, lens, seed, causal, dropout_p)
+    return out, (q, k, v, lens, seed)
+
+
+def _fa_bwd(causal, dropout_p, res, dout):
+    q, k, v, lens, seed = res
+    dq, dk, dv = _attn_bwd(q, k, v, lens, seed, dout, causal, dropout_p)
+    return dq, dk, dv, None, None
+
+
+fused_attention.defvjp(_fa_fwd, _fa_bwd)
