@@ -48,15 +48,18 @@ from datamining_recblr_tpu.ops.pallas_scan import _pad_to, _scan_body
 LN_EPS = 1e-12
 
 
-def _block_rows(t: int, budget: int) -> int:
-    bt = 8
+def _block_rows(t: int, budget: int, cap: int = 8) -> int:
+    bt = cap
     while bt > 1 and bt * t > budget:
         bt //= 2
     return bt
 
 
 _FWD_BUDGET = 1600
+# the backward OOMs scoped VMEM at 8 rows/block regardless of T
+# (measured on v5e); 4 is safe through T=200, halving beyond
 _BWD_BUDGET = 800
+_BWD_CAP = 4
 
 
 def _dropout_mask(shape, keep_prob):
@@ -376,7 +379,7 @@ def _layer_fwd(x, seed, params, use_conv, use_ffn, dropout_p):
 )
 def _layer_bwd(x, dout, seed, params, use_conv, use_ffn, dropout_p):
     b, t, d = x.shape
-    bt = _block_rows(t, _BWD_BUDGET)
+    bt = _block_rows(t, _BWD_BUDGET, _BWD_CAP)
     xp = _pad_to(x, 0, bt, 0.0)
     dp = _pad_to(dout, 0, bt, 0.0)
     bp = xp.shape[0]
