@@ -169,10 +169,15 @@ class RecBLR(SequentialModel):
         return L.layer_norm(p["ln"], y + x)
 
     def _use_fused_layer(self):
+        # whole-layer fusion holds its fp32 working set in VMEM; beyond
+        # T=512 (measured v5e limit) fall back to the partially-fused
+        # path (conv+gates+scan kernel + XLA rest), which scales to
+        # XLong-length sequences
         return (
             self.scan_impl != "xla"
             and self.hidden_size <= 128
             and self.inner_hidden <= 128
+            and self.max_seq_len <= 512
             and (self.scan_impl == "pallas" or jax.default_backend() == "tpu")
         )
 
