@@ -11,7 +11,6 @@ from __future__ import annotations
 import time
 
 import jax
-import numpy as np
 
 from datamining_recblr_tpu.config import Config
 from datamining_recblr_tpu.data.dataset import SeqData, build_dataset

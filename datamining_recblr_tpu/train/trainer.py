@@ -243,6 +243,13 @@ class Trainer:
                 "train_loss": epoch_loss,
                 "train_time": train_time,
             }
+            try:  # device memory column, like the reference's GPU GB logs
+                stats = jax.local_devices()[0].memory_stats() or {}
+                peak = stats.get("peak_bytes_in_use")
+                if peak:
+                    record["device_mem_gb"] = round(peak / 2**30, 3)
+            except Exception:
+                pass
             line = f"epoch {epoch} training [time: {train_time:.2f}s, train loss: {epoch_loss:.4f}]"
 
             if valid is not None and len(valid) and (epoch + 1) % self.eval_step == 0:
