@@ -45,6 +45,16 @@ class Evaluator:
         self.topk = [int(k) for k in config["topk"]]
         self.batch_size = int(config["eval_batch_size"])
         self.mesh = mesh
+        self.seed = int(config.get("seed", 0) or 0)
+        # RecBole eval_args.mode: 'full' (whole catalog) or 'uniN'
+        # (N uniform sampled negatives + the target)
+        eval_args = config.get("eval_args") or {}
+        mode = str(eval_args.get("mode", "full"))
+        self.n_negatives = None
+        if mode.startswith("uni"):
+            self.n_negatives = int(mode[3:])
+        elif mode != "full":
+            raise ValueError(f"unsupported eval mode {mode!r} (full / uniN)")
         if mesh is not None:
             data_size = mesh.shape.get("data", 1)
             assert self.batch_size % data_size == 0, (
@@ -66,13 +76,61 @@ class Evaluator:
             ranks = target_ranks(scores, pos_item)
             return rank_metrics(ranks, self.metrics, self.topk, weight)
 
+        @jax.jit
+        def _eval_step_sampled(params, item_seq, item_seq_len, candidates, weight):
+            """candidates: [B, 1+N] item ids with the target at index 0;
+            rank computed among the candidate set (ties favor the
+            target, like torch.topk's index order with the positive
+            listed first)."""
+            seq_output = self.model.forward(
+                params, item_seq, item_seq_len, deterministic=True
+            )
+            emb = params["item_embedding"][candidates].astype(seq_output.dtype)
+            scores = jnp.einsum(
+                "bh,bnh->bn", seq_output, emb, preferred_element_type=jnp.float32
+            )
+            if hasattr(self.model, "mask_token"):  # BERT4Rec output bias
+                scores = scores + params["output_bias"][candidates]
+            ranks = target_ranks(scores, jnp.zeros(scores.shape[0], jnp.int32))
+            return rank_metrics(ranks, self.metrics, self.topk, weight)
+
         self._eval_step = _eval_step
         self._eval_step_hist = _eval_step_hist
+        self._eval_step_sampled = _eval_step_sampled
 
     def evaluate(self, params, split, history_fn=None) -> dict[str, float]:
         """Returns {"metric@k": value} averaged over real rows."""
+        import numpy as np
+
         sums = {}
+        neg_rng = (
+            np.random.default_rng(self.seed) if self.n_negatives is not None else None
+        )
         for batch in iter_batches(split, self.batch_size):
+            if self.n_negatives is not None:
+                b = len(batch["pos_item"])
+                neg = neg_rng.integers(
+                    1, self.model.n_items, size=(b, self.n_negatives)
+                ).astype(np.int32)
+                # resample collisions with the target
+                for _ in range(4):
+                    coll = neg == batch["pos_item"][:, None]
+                    if not coll.any():
+                        break
+                    neg[coll] = neg_rng.integers(1, self.model.n_items, int(coll.sum()))
+                cands = np.concatenate([batch["pos_item"][:, None], neg], axis=1)
+                acc = self._eval_step_sampled(
+                    params,
+                    jnp.asarray(batch["item_seq"]),
+                    jnp.asarray(batch["item_seq_len"]),
+                    jnp.asarray(cands),
+                    jnp.asarray(batch["weight"]),
+                )
+                for key, (s, w) in acc.items():
+                    cur = sums.setdefault(key, [0.0, 0.0])
+                    cur[0] += float(s)
+                    cur[1] += float(w)
+                continue
             if self.mesh is not None:
                 from datamining_recblr_tpu.parallel.sharding import shard_batch
 
