@@ -74,6 +74,17 @@ class SequentialModel:
     def forward(self, params, item_seq, item_seq_len, *, deterministic=True, rng=None):
         raise NotImplementedError
 
+    def embed(self, params, ids):
+        """Item-embedding lookup.  Under bf16 compute on TPU the
+        gradient uses chunked one-hot matmuls instead of XLA's serial
+        scatter-add (ops/embedding.py — ~2x faster, bf16-rounded
+        accumulation); fp32 parity mode keeps the exact scatter."""
+        if self.compute_dtype == jnp.bfloat16 and jax.default_backend() == "tpu":
+            from datamining_recblr_tpu.ops.embedding import embedding_lookup
+
+            return embedding_lookup(params["item_embedding"], ids)
+        return params["item_embedding"][ids]
+
     # -- shared scoring / losses ------------------------------------------
     def item_scores(self, params, seq_output, item_ids):
         """Dot-product score of seq_output[b] with given item ids [B]."""

@@ -64,7 +64,7 @@ class BERT4Rec(SequentialModel):
         """[B, T] -> [B, T, H] through embedding, bidirectional encoder,
         and the GELU output head."""
         t = item_seq.shape[1]
-        x = params["item_embedding"][item_seq].astype(self.compute_dtype)
+        x = self.embed(params, item_seq).astype(self.compute_dtype)
         x = x + params["position_embedding"][:t].astype(self.compute_dtype)
         x = L.layer_norm(params["input_ln"], x)
         if rng is not None:

@@ -206,7 +206,7 @@ class RecBLR(SequentialModel):
         return flat
 
     def forward(self, params, item_seq, item_seq_len, *, deterministic=True, rng=None):
-        x = params["item_embedding"][item_seq].astype(self.compute_dtype)
+        x = self.embed(params, item_seq).astype(self.compute_dtype)
         if rng is not None:
             rng, sub = jax.random.split(rng)
             x = L.dropout(sub, x, self.dropout_prob, deterministic)

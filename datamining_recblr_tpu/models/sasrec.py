@@ -44,7 +44,7 @@ class SASRec(SequentialModel):
 
     def forward(self, params, item_seq, item_seq_len, *, deterministic=True, rng=None):
         t = item_seq.shape[1]
-        x = params["item_embedding"][item_seq].astype(self.compute_dtype)
+        x = self.embed(params, item_seq).astype(self.compute_dtype)
         x = x + params["position_embedding"][:t].astype(self.compute_dtype)
         # LN then dropout (reference sasrec.py:104-105 order)
         x = L.layer_norm(params["input_ln"], x)
