@@ -196,13 +196,22 @@ class Trainer:
                 if pad:
                     chunk = np.concatenate([chunk, np.zeros(pad, np.int64)])
                     weight[self.batch_size - pad :] = 0.0
-                neg = (
-                    host_rng.integers(
+                if use_bpr:
+                    neg = host_rng.integers(
                         1, self.model.n_items, size=self.batch_size
                     ).astype(np.int32)
-                    if use_bpr
-                    else np.zeros(1, np.int32)
-                )
+                    # uniform-sampler parity: resample collisions with
+                    # the positive item
+                    pos = train.pos_item[chunk]
+                    for _ in range(4):
+                        coll = neg == pos
+                        if not coll.any():
+                            break
+                        neg[coll] = host_rng.integers(
+                            1, self.model.n_items, int(coll.sum())
+                        )
+                else:
+                    neg = np.zeros(1, np.int32)
                 if self.mesh is not None:
                     from datamining_recblr_tpu.parallel.sharding import shard_batch
 
