@@ -131,6 +131,16 @@ class SeqData:
             f"valid={len(self.valid)} test={len(self.test)} L={self.max_seq_len}"
         )
 
+    def item_popularity(self) -> np.ndarray:
+        """Per-item interaction counts over the training portion
+        (indexed by item id, PAD=0 at index 0) — the popN eval
+        sampling distribution."""
+        counts = np.zeros(self.n_items, np.int64)
+        for items in self.user_train_items:
+            if len(items):
+                counts += np.bincount(items, minlength=self.n_items)
+        return counts
+
 
 # ---------------------------------------------------------------------------
 # core construction

@@ -51,10 +51,17 @@ class Evaluator:
         eval_args = config.get("eval_args") or {}
         mode = str(eval_args.get("mode", "full"))
         self.n_negatives = None
+        self.pop_sampling = False
         if mode.startswith("uni"):
             self.n_negatives = int(mode[3:])
+        elif mode.startswith("pop"):
+            # popularity-proportional negative sampling (RecBole popN);
+            # requires item counts via set_item_popularity()
+            self.n_negatives = int(mode[3:])
+            self.pop_sampling = True
         elif mode != "full":
-            raise ValueError(f"unsupported eval mode {mode!r} (full / uniN)")
+            raise ValueError(f"unsupported eval mode {mode!r} (full / uniN / popN)")
+        self._pop_probs = None
         if mesh is not None:
             data_size = mesh.shape.get("data", 1)
             assert self.batch_size % data_size == 0, (
@@ -98,6 +105,17 @@ class Evaluator:
         self._eval_step_hist = _eval_step_hist
         self._eval_step_sampled = _eval_step_sampled
 
+    def set_item_popularity(self, counts):
+        """counts: array of per-item interaction counts indexed by item
+        id (PAD at 0) — enables the popN sampling distribution."""
+        import numpy as np
+
+        c = np.zeros(self.model.n_items, np.float64)
+        c[: len(counts)] = np.asarray(counts, np.float64)[: self.model.n_items]
+        c[0] = 0.0
+        total = c.sum()
+        self._pop_probs = c / total if total else None
+
     def evaluate(self, params, split, history_fn=None) -> dict[str, float]:
         """Returns {"metric@k": value} averaged over real rows."""
         import numpy as np
@@ -109,15 +127,30 @@ class Evaluator:
         for batch in iter_batches(split, self.batch_size):
             if self.n_negatives is not None:
                 b = len(batch["pos_item"])
-                neg = neg_rng.integers(
-                    1, self.model.n_items, size=(b, self.n_negatives)
-                ).astype(np.int32)
+                if self.pop_sampling:
+                    assert self._pop_probs is not None, (
+                        "popN eval mode requires set_item_popularity(counts)"
+                    )
+                    neg = neg_rng.choice(
+                        self.model.n_items, size=(b, self.n_negatives),
+                        p=self._pop_probs,
+                    ).astype(np.int32)
+                else:
+                    neg = neg_rng.integers(
+                        1, self.model.n_items, size=(b, self.n_negatives)
+                    ).astype(np.int32)
                 # resample collisions with the target
                 for _ in range(4):
                     coll = neg == batch["pos_item"][:, None]
                     if not coll.any():
                         break
-                    neg[coll] = neg_rng.integers(1, self.model.n_items, int(coll.sum()))
+                    n_coll = int(coll.sum())
+                    if self.pop_sampling:
+                        neg[coll] = neg_rng.choice(
+                            self.model.n_items, size=n_coll, p=self._pop_probs
+                        )
+                    else:
+                        neg[coll] = neg_rng.integers(1, self.model.n_items, n_coll)
                 cands = np.concatenate([batch["pos_item"][:, None], neg], axis=1)
                 acc = self._eval_step_sampled(
                     params,

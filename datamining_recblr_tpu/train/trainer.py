@@ -162,6 +162,10 @@ class Trainer:
         history_fn = (
             history_fn_from_data(data) if self.config.get("mask_history") else None
         )
+        if getattr(self.evaluator, "pop_sampling", False) and (
+            self.evaluator._pop_probs is None
+        ):
+            self.evaluator.set_item_popularity(data.item_popularity())
         n = len(train)
         steps_per_epoch = batch_count(n, self.batch_size)
         host_rng = np.random.default_rng(int(self.config["seed"]) + self.start_epoch)

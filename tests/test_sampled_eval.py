@@ -55,10 +55,34 @@ def test_uni_mode_scores_higher_than_full(setup):
     assert sampled["hit@10"] >= full["hit@10"]
 
 
+def test_pop_mode_runs(setup):
+    cfg, data, model, params = setup
+    cfg_p = Config(model="RecBLR", config_dict={
+        **cfg.as_dict(), "eval_args": {"mode": "pop20"},
+    })
+    ev = Evaluator(model, cfg_p)
+    assert ev.pop_sampling and ev.n_negatives == 20
+    ev.set_item_popularity(data.item_popularity())
+    res = ev.evaluate(params, data.test)
+    assert 0.0 <= res["ndcg@10"] <= 1.0
+    # PAD never sampled (probability mass zero at index 0)
+    assert ev._pop_probs[0] == 0.0
+
+
+def test_pop_mode_requires_counts(setup):
+    cfg, data, model, params = setup
+    cfg_p = Config(model="RecBLR", config_dict={
+        **cfg.as_dict(), "eval_args": {"mode": "pop5"},
+    })
+    ev = Evaluator(model, cfg_p)
+    with pytest.raises(AssertionError):
+        ev.evaluate(params, data.test)
+
+
 def test_unsupported_mode_raises(setup):
     cfg, data, model, params = setup
     bad = Config(model="RecBLR", config_dict={
-        **cfg.as_dict(), "eval_args": {"mode": "pop100"},
+        **cfg.as_dict(), "eval_args": {"mode": "weird9"},
     })
     with pytest.raises(ValueError):
         Evaluator(model, bad)
