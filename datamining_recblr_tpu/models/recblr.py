@@ -133,6 +133,7 @@ class RecBLR(SequentialModel):
                 p["b_gates"].astype(jnp.float32),
                 p["Lambda"].astype(jnp.float32),
                 not self.disable_conv1d,
+                self._mm_bf16(),
             )
         else:
             if not self.disable_conv1d:
@@ -167,6 +168,14 @@ class RecBLR(SequentialModel):
         y = L.dense(p["w2"], y)
         y = L.dropout(k2, y, self.dropout_prob, deterministic) if k2 is not None else y
         return L.layer_norm(p["ln"], y + x)
+
+    def _mm_bf16(self):
+        # Measured on v5e (B=2048, T=200): explicit bf16 matmul operands
+        # make the fused kernels ~4% SLOWER — Mosaic already executes
+        # f32 dots at single-bf16-pass speed, so the casts are pure VPU
+        # overhead.  Keep the kernel option for experimentation but
+        # never enable it from the model.
+        return False
 
     def _use_fused_layer(self):
         # whole-layer fusion holds its fp32 working set in VMEM; beyond
@@ -206,28 +215,37 @@ class RecBLR(SequentialModel):
         return flat
 
     def forward(self, params, item_seq, item_seq_len, *, deterministic=True, rng=None):
-        x = self.embed(params, item_seq).astype(self.compute_dtype)
-        if rng is not None:
-            rng, sub = jax.random.split(rng)
-            x = L.dropout(sub, x, self.dropout_prob, deterministic)
-        x = L.layer_norm(params["input_ln"], x)
-
         training = rng is not None and not deterministic
-        if self._use_fused_layer():
+        use_fused = self._use_fused_layer()
+        x = self.embed(params, item_seq).astype(self.compute_dtype)
+
+        if not use_fused:
+            if rng is not None:
+                rng, sub = jax.random.split(rng)
+                x = L.dropout(sub, x, self.dropout_prob, deterministic)
+            x = L.layer_norm(params["input_ln"], x)
+        if use_fused:
             # whole-layer fused kernels (ops/fused_layer.py): in-kernel
             # dropout uses the TPU PRNG with a per-step-derived seed
-            from datamining_recblr_tpu.ops.fused_layer import fused_recurrent_layer
+            from datamining_recblr_tpu.ops.fused_layer import (
+                fused_dropout_ln,
+                fused_recurrent_layer,
+            )
 
             p_drop = float(self.dropout_prob) if training else 0.0
+            n_seeds = len(params["layers"]) + 1  # +1 for the prologue
             if training:
                 rng, k_seed = jax.random.split(rng)
                 seeds = jax.random.randint(
-                    k_seed, (len(params["layers"]), 1), 0, 2**31 - 1, dtype=jnp.int32
+                    k_seed, (n_seeds, 1), 0, 2**31 - 1, dtype=jnp.int32
                 )
             else:
-                seeds = jnp.zeros((len(params["layers"]), 1), jnp.int32)
+                seeds = jnp.zeros((n_seeds, 1), jnp.int32)
+            ln_s = params["input_ln"]["scale"].astype(jnp.float32)
+            ln_b = params["input_ln"]["bias"].astype(jnp.float32)
             use_conv = not self.disable_conv1d
             use_ffn = not self.disable_ffn
+            mm_bf16 = self._mm_bf16()
 
             if self.mesh is not None and "data" in self.mesh.shape:
                 # under a mesh, run the kernel per-shard over the data
@@ -241,6 +259,17 @@ class RecBLR(SequentialModel):
                 @_ft.partial(
                     jax.shard_map,
                     mesh=self.mesh,
+                    in_specs=(_P("data"), _P(), _P(), _P()),
+                    out_specs=_P("data"),
+                    check_vma=False,
+                )
+                def _prologue_sharded(xs, seed, s, b):
+                    seed = seed + jax.lax.axis_index("data").astype(jnp.int32) * 1000003
+                    return fused_dropout_ln(xs, seed, s, b, p_drop)
+
+                @_ft.partial(
+                    jax.shard_map,
+                    mesh=self.mesh,
                     in_specs=(_P("data"), _P(), _P()),
                     out_specs=_P("data"),
                     check_vma=False,
@@ -248,17 +277,21 @@ class RecBLR(SequentialModel):
                 def _layer_sharded(xs, seed, flat):
                     seed = seed + jax.lax.axis_index("data").astype(jnp.int32) * 1000003
                     return fused_recurrent_layer(
-                        xs, seed, flat, use_conv, use_ffn, p_drop
+                        xs, seed, flat, use_conv, use_ffn, p_drop, mm_bf16
                     )
 
+                x = _prologue_sharded(x, seeds[-1], ln_s, ln_b)
                 for li, layer in enumerate(params["layers"]):
                     flat = self._flat_layer_params(layer, use_ffn)
                     x = _layer_sharded(x, seeds[li], flat)
                 return L.gather_last(x, item_seq_len)
 
+            x = fused_dropout_ln(x, seeds[-1], ln_s, ln_b, p_drop)
             for li, layer in enumerate(params["layers"]):
                 flat = self._flat_layer_params(layer, use_ffn)
-                x = fused_recurrent_layer(x, seeds[li], flat, use_conv, use_ffn, p_drop)
+                x = fused_recurrent_layer(
+                    x, seeds[li], flat, use_conv, use_ffn, p_drop, mm_bf16
+                )
             return L.gather_last(x, item_seq_len)
 
         for layer in params["layers"]:

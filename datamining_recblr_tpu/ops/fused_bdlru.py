@@ -102,11 +102,15 @@ def _silu(u):
     return u * jax.nn.sigmoid(u)
 
 
-def _gate_math(xc, wg, bg, lam):
+def _gate_math(xc, wg, bg, lam, mm_bf16=False):
     bt, t, c = xc.shape
-    g = jnp.dot(
-        xc.reshape(bt * t, c), wg, preferred_element_type=jnp.float32
-    ) + bg
+    x2 = xc.reshape(bt * t, c)
+    if mm_bf16:
+        # bf16 operands, fp32 accumulate: the production matmul policy
+        # (gate *math* below stays fp32, like the reference's fp32 scan)
+        x2 = x2.astype(jnp.bfloat16)
+        wg = wg.astype(jnp.bfloat16)
+    g = jnp.dot(x2, wg, preferred_element_type=jnp.float32) + bg
     g = g.reshape(bt, t, 2 * c)
     r, i = g[..., :c], g[..., c:]
     sr = jax.nn.sigmoid(r)
@@ -117,7 +121,9 @@ def _gate_math(xc, wg, bg, lam):
     return alpha, beta, sr, si, s
 
 
-def _fwd_kernel(x_ref, wc_ref, bc_ref, wg_ref, bg_ref, lam_ref, h_ref, *, use_conv):
+def _fwd_kernel(
+    x_ref, wc_ref, bc_ref, wg_ref, bg_ref, lam_ref, h_ref, *, use_conv, mm_bf16
+):
     x = x_ref[:].astype(jnp.float32)
     wg = wg_ref[:].astype(jnp.float32)
     bg = bg_ref[:].astype(jnp.float32)
@@ -127,7 +133,7 @@ def _fwd_kernel(x_ref, wc_ref, bc_ref, wg_ref, bg_ref, lam_ref, h_ref, *, use_co
         xc = _silu(u)
     else:
         xc = x
-    alpha, beta, _, _, _ = _gate_math(xc, wg, bg, lam)
+    alpha, beta, _, _, _ = _gate_math(xc, wg, bg, lam, mm_bf16)
     h = _scan_body(beta * xc, alpha)
     h_ref[:] = h.astype(h_ref.dtype)
 
@@ -135,7 +141,7 @@ def _fwd_kernel(x_ref, wc_ref, bc_ref, wg_ref, bg_ref, lam_ref, h_ref, *, use_co
 def _bwd_kernel(
     x_ref, dh_ref, wc_ref, bc_ref, wg_ref, bg_ref, lam_ref,
     dx_ref, dwc_ref, dbc_ref, dwg_ref, dbg_ref, dlam_ref,
-    *, use_conv,
+    *, use_conv, mm_bf16,
 ):
     first = pl.program_id(0) == 0
     x = x_ref[:].astype(jnp.float32)
@@ -154,7 +160,7 @@ def _bwd_kernel(
         xc = u * sg
     else:
         xc = x
-    alpha, beta, sr, si, s = _gate_math(xc, wg, bg, lam)
+    alpha, beta, sr, si, s = _gate_math(xc, wg, bg, lam, mm_bf16)
     h = _scan_body(beta * xc, alpha)
 
     a_shift = _shift_left(alpha, 1, fill=1.0)
@@ -173,10 +179,19 @@ def _bwd_kernel(
     dg = jnp.concatenate([d_r, d_i], axis=-1)
     dg2 = dg.reshape(bt * t, 2 * c)
     xc2 = xc.reshape(bt * t, c)
-    dxc = jnp.dot(
-        dg2, wg.T, preferred_element_type=jnp.float32
-    ).reshape(bt, t, c) + dxc_direct
-    dwg = jnp.dot(xc2.T, dg2, preferred_element_type=jnp.float32)
+    if mm_bf16:
+        dg2m = dg2.astype(jnp.bfloat16)
+        dxc = jnp.dot(
+            dg2m, wg.T.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+        ).reshape(bt, t, c) + dxc_direct
+        dwg = jnp.dot(
+            xc2.T.astype(jnp.bfloat16), dg2m, preferred_element_type=jnp.float32
+        )
+    else:
+        dxc = jnp.dot(
+            dg2, wg.T, preferred_element_type=jnp.float32
+        ).reshape(bt, t, c) + dxc_direct
+        dwg = jnp.dot(xc2.T, dg2, preferred_element_type=jnp.float32)
     dbg = jnp.sum(dg2, axis=0)
 
     if use_conv:
@@ -223,15 +238,15 @@ def _full_spec(shape):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("use_conv",))
-def _fused_fwd(x, wc, bc, wg, bg, lam, use_conv):
+@functools.partial(jax.jit, static_argnames=("use_conv", "mm_bf16"))
+def _fused_fwd(x, wc, bc, wg, bg, lam, use_conv, mm_bf16=False):
     b, t, c = x.shape
     bt = _block_rows(t, _FWD_BUDGET)
     xp = _pad_to(x, 0, bt, 0.0)
     bp = xp.shape[0]
     block = pl.BlockSpec((bt, t, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     h = pl.pallas_call(
-        functools.partial(_fwd_kernel, use_conv=use_conv),
+        functools.partial(_fwd_kernel, use_conv=use_conv, mm_bf16=mm_bf16),
         out_shape=jax.ShapeDtypeStruct((bp, t, c), x.dtype),
         grid=(bp // bt,),
         in_specs=[
@@ -248,8 +263,8 @@ def _fused_fwd(x, wc, bc, wg, bg, lam, use_conv):
     return h[:b]
 
 
-@functools.partial(jax.jit, static_argnames=("use_conv",))
-def _fused_bwd(x, dh, wc, bc, wg, bg, lam, use_conv):
+@functools.partial(jax.jit, static_argnames=("use_conv", "mm_bf16"))
+def _fused_bwd(x, dh, wc, bc, wg, bg, lam, use_conv, mm_bf16=False):
     b, t, c = x.shape
     bt = _block_rows(t, _BWD_BUDGET)
     xp = _pad_to(x, 0, bt, 0.0)
@@ -257,7 +272,7 @@ def _fused_bwd(x, dh, wc, bc, wg, bg, lam, use_conv):
     bp = xp.shape[0]
     block = pl.BlockSpec((bt, t, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, use_conv=use_conv),
+        functools.partial(_bwd_kernel, use_conv=use_conv, mm_bf16=mm_bf16),
         out_shape=(
             jax.ShapeDtypeStruct((bp, t, c), x.dtype),
             jax.ShapeDtypeStruct(wc.shape, jnp.float32),
@@ -289,25 +304,30 @@ def _fused_bwd(x, dh, wc, bc, wg, bg, lam, use_conv):
     return dx[:b], dwc, dbc, dwg, dbg, dlam
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def fused_bdlru(x, wc, bc, wg, bg, lam, use_conv=True):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def fused_bdlru(x, wc, bc, wg, bg, lam, use_conv=True, mm_bf16=False):
     """h = scan(alpha(xc), beta(xc) * xc), xc = silu(conv(x)) or x.
 
     x: [B, T, C] (C <= 128); wc: [K, C]; bc: [C]; wg: [C, 2C];
     bg: [2C]; lam: [C]; use_conv: static flag (False for the
-    bd_lru_only / disable_conv1d ablations, reference RecBLR.py:28-35).
+    bd_lru_only / disable_conv1d ablations, reference RecBLR.py:28-35);
+    mm_bf16: static — run in-kernel matmuls with bf16 operands / fp32
+    accumulation (production policy under bf16 compute); the scan and
+    gate math stay fp32 either way.
     """
-    return _fused_fwd(x, wc, bc, wg, bg, lam, use_conv)
+    return _fused_fwd(x, wc, bc, wg, bg, lam, use_conv, mm_bf16)
 
 
-def _vjp_fwd(x, wc, bc, wg, bg, lam, use_conv):
-    h = _fused_fwd(x, wc, bc, wg, bg, lam, use_conv)
+def _vjp_fwd(x, wc, bc, wg, bg, lam, use_conv, mm_bf16):
+    h = _fused_fwd(x, wc, bc, wg, bg, lam, use_conv, mm_bf16)
     return h, (x, wc, bc, wg, bg, lam)
 
 
-def _vjp_bwd(use_conv, res, dh):
+def _vjp_bwd(use_conv, mm_bf16, res, dh):
     x, wc, bc, wg, bg, lam = res
-    dx, dwc, dbc, dwg, dbg, dlam = _fused_bwd(x, dh, wc, bc, wg, bg, lam, use_conv)
+    dx, dwc, dbc, dwg, dbg, dlam = _fused_bwd(
+        x, dh, wc, bc, wg, bg, lam, use_conv, mm_bf16
+    )
     return (
         dx,
         dwc.astype(wc.dtype),

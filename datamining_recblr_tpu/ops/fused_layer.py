@@ -56,10 +56,11 @@ def _block_rows(t: int, budget: int, cap: int = 8) -> int:
 
 
 _FWD_BUDGET = 1600
-# the backward OOMs scoped VMEM at 8 rows/block regardless of T
-# (measured on v5e); 4 is safe through T=200, halving beyond
-_BWD_BUDGET = 800
-_BWD_CAP = 4
+# With the raised vmem_limit_bytes (v5e has 128 MiB; Mosaic's default
+# scoped cap is what used to force 4-row backward blocks), 8-row
+# backward blocks compile and run ~5% faster at T=200.
+_BWD_BUDGET = 1600
+_BWD_CAP = 8
 
 
 def _dropout_mask(shape, keep_prob):
@@ -92,13 +93,35 @@ def _ln_bwd(dy, vhat, inv, scale):
     return dv, dscale, dbias
 
 
-def _mm(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+def _make_mm(mm_bf16):
+    """In-kernel matmul: fp32 accumulate always; with ``mm_bf16`` the
+    operands are cast to bf16 first (the production matmul policy —
+    scan/gates/LN math stays fp32 regardless)."""
+    if mm_bf16:
+        def _mm(a, b):
+            return jnp.dot(
+                a.astype(jnp.bfloat16),
+                b.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+    else:
+        def _mm(a, b):
+            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    return _mm
 
 
-def _layer_fwd_core(x, p, *, use_conv, use_ffn, keep_prob, seeded):
+def _mmT(a, b):
+    """a[N, K], b[N, M] -> a^T @ b [K, M], contracting dim 0 directly so
+    Mosaic feeds the MXU without materializing the [K, N] transpose."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _layer_fwd_core(x, p, *, use_conv, use_ffn, keep_prob, seeded, mm_bf16=False):
     """Shared forward math on an f32 [BT, T, D] block.  Returns every
     intermediate the backward needs (recomputed there)."""
+    _mm = _make_mm(mm_bf16)
     bt, t, d = x.shape
     x2 = x.reshape(bt * t, d)
     xz = _mm(x2, p["w_in"]).reshape(bt, t, -1)
@@ -110,7 +133,7 @@ def _layer_fwd_core(x, p, *, use_conv, use_ffn, keep_prob, seeded):
     else:
         u = xb
         xc = xb
-    alpha, beta, sr, si, s = _gate_math(xc, p["wg"], p["bg"], p["lam"])
+    alpha, beta, sr, si, s = _gate_math(xc, p["wg"], p["bg"], p["lam"], mm_bf16)
     h = _scan_body(beta * xc, alpha)
     sz = jax.nn.sigmoid(z)
     gate = z * sz  # silu(z)
@@ -161,7 +184,7 @@ def _params_from_refs(refs, use_ffn):
     return {n: r[:].astype(jnp.float32) for n, r in zip(names, refs)}
 
 
-def _fwd_kernel(seed_ref, x_ref, *refs, use_conv, use_ffn, keep_prob):
+def _fwd_kernel(seed_ref, x_ref, *refs, use_conv, use_ffn, keep_prob, mm_bf16):
     out_ref = refs[-1]
     param_refs = refs[:-1]
     if keep_prob < 1.0:
@@ -170,17 +193,20 @@ def _fwd_kernel(seed_ref, x_ref, *refs, use_conv, use_ffn, keep_prob):
     p = _params_from_refs(param_refs, use_ffn)
     res = _layer_fwd_core(
         x, p, use_conv=use_conv, use_ffn=use_ffn,
-        keep_prob=keep_prob, seeded=True,
+        keep_prob=keep_prob, seeded=True, mm_bf16=mm_bf16,
     )
     out_ref[:] = res["out"].astype(out_ref.dtype)
 
 
-def _bwd_kernel(seed_ref, x_ref, dout_ref, *refs, use_conv, use_ffn, keep_prob):
+def _bwd_kernel(
+    seed_ref, x_ref, dout_ref, *refs, use_conv, use_ffn, keep_prob, mm_bf16
+):
     n_params = 15 if use_ffn else 9
     param_refs = refs[:n_params]
     dx_ref = refs[n_params]
     grad_refs = refs[n_params + 1 :]
     first = pl.program_id(0) == 0
+    _mm = _make_mm(mm_bf16)
 
     if keep_prob < 1.0:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
@@ -200,7 +226,7 @@ def _bwd_kernel(seed_ref, x_ref, dout_ref, *refs, use_conv, use_ffn, keep_prob):
         xc = u * sg_u
     else:
         xc = xb
-    alpha, beta, sr, si, s = _gate_math(xc, p["wg"], p["bg"], p["lam"])
+    alpha, beta, sr, si, s = _gate_math(xc, p["wg"], p["bg"], p["lam"], mm_bf16)
     h = _scan_body(beta * xc, alpha)
     sz = jax.nn.sigmoid(z)
     gate = z * sz
@@ -243,14 +269,14 @@ def _bwd_kernel(seed_ref, x_ref, dout_ref, *refs, use_conv, use_ffn, keep_prob):
         df2 = dv2 * m3 if m3 is not None else dv2
         dr1 = dv2  # residual branch
         df2_2 = df2.reshape(bt * t, d)
-        grads["w2"] = _mm(a1d.reshape(bt * t, -1).T, df2_2)
+        grads["w2"] = _mmT(a1d.reshape(bt * t, -1), df2_2)
         grads["b2"] = jnp.sum(df2_2, axis=0)
         da1d = _mm(df2_2, p["w2"].T).reshape(bt, t, -1)
         da1 = da1d * m2 if m2 is not None else da1d
         # silu'
         df1 = da1 * sf1 * (1.0 + f1 * (1.0 - sf1))
         df1_2 = df1.reshape(bt * t, -1)
-        grads["w1"] = _mm(r1.reshape(bt * t, d).T, df1_2)
+        grads["w1"] = _mmT(r1.reshape(bt * t, d), df1_2)
         grads["b1"] = jnp.sum(df1_2, axis=0)
         dr1 = dr1 + _mm(df1_2, p["w1"].T).reshape(bt, t, d)
     else:
@@ -261,7 +287,7 @@ def _bwd_kernel(seed_ref, x_ref, dout_ref, *refs, use_conv, use_ffn, keep_prob):
     dy = dv1 * m1 if m1 is not None else dv1
 
     dy2 = dy.reshape(bt * t, d)
-    grads["w_out"] = _mm(yin.T, dy2)
+    grads["w_out"] = _mmT(yin, dy2)
     dyin = _mm(dy2, p["w_out"].T).reshape(bt, t, c)
     dgate = dyin * h
     dh = dyin * gate
@@ -282,7 +308,7 @@ def _bwd_kernel(seed_ref, x_ref, dout_ref, *refs, use_conv, use_ffn, keep_prob):
     dg = jnp.concatenate([d_r, d_i], axis=-1).reshape(bt * t, 2 * c)
     xc2 = xc.reshape(bt * t, c)
     dxc = dxc + _mm(dg, p["wg"].T).reshape(bt, t, c)
-    grads["wg"] = _mm(xc2.T, dg)
+    grads["wg"] = _mmT(xc2, dg)
     grads["bg"] = jnp.sum(dg, axis=0)
 
     if use_conv:
@@ -303,7 +329,7 @@ def _bwd_kernel(seed_ref, x_ref, dout_ref, *refs, use_conv, use_ffn, keep_prob):
         grads["bc"] = jnp.zeros_like(p["bc"])
 
     dxz = jnp.concatenate([dxb, dz], axis=-1).reshape(bt * t, 2 * c)
-    grads["w_in"] = _mm(x2.T, dxz)
+    grads["w_in"] = _mmT(x2, dxz)
     dx = dx + _mm(dxz, p["w_in"].T).reshape(bt, t, d)
 
     dx_ref[:] = dx.astype(dx_ref.dtype)
@@ -345,12 +371,19 @@ _PARAM_NAMES = [
 ]
 
 
+# v5e VMEM is 128 MiB; Mosaic's default scoped limit is far lower and
+# was what forced 4-row backward blocks.  Ask for most of the chip.
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
 @functools.partial(
-    jax.jit, static_argnames=("use_conv", "use_ffn", "dropout_p")
+    jax.jit,
+    static_argnames=("use_conv", "use_ffn", "dropout_p", "mm_bf16", "block_rows"),
 )
-def _layer_fwd(x, seed, params, use_conv, use_ffn, dropout_p):
+def _layer_fwd(x, seed, params, use_conv, use_ffn, dropout_p, mm_bf16=False,
+               block_rows=0):
     b, t, d = x.shape
-    bt = _block_rows(t, _FWD_BUDGET)
+    bt = block_rows or _block_rows(t, _FWD_BUDGET)
     xp = _pad_to(x, 0, bt, 0.0)
     bp = xp.shape[0]
     block = pl.BlockSpec((bt, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -360,6 +393,7 @@ def _layer_fwd(x, seed, params, use_conv, use_ffn, dropout_p):
         functools.partial(
             _fwd_kernel,
             use_conv=use_conv, use_ffn=use_ffn, keep_prob=1.0 - dropout_p,
+            mm_bf16=mm_bf16,
         ),
         out_shape=jax.ShapeDtypeStruct((bp, t, d), x.dtype),
         grid=(bp // bt,),
@@ -370,16 +404,19 @@ def _layer_fwd(x, seed, params, use_conv, use_ffn, dropout_p):
         ],
         out_specs=block,
         interpret=_interpret(1.0 - dropout_p),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(seed, xp, *plist)
     return out[:b]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("use_conv", "use_ffn", "dropout_p")
+    jax.jit,
+    static_argnames=("use_conv", "use_ffn", "dropout_p", "mm_bf16", "block_rows"),
 )
-def _layer_bwd(x, dout, seed, params, use_conv, use_ffn, dropout_p):
+def _layer_bwd(x, dout, seed, params, use_conv, use_ffn, dropout_p, mm_bf16=False,
+               block_rows=0):
     b, t, d = x.shape
-    bt = _block_rows(t, _BWD_BUDGET, _BWD_CAP)
+    bt = block_rows or _block_rows(t, _BWD_BUDGET, _BWD_CAP)
     xp = _pad_to(x, 0, bt, 0.0)
     dp = _pad_to(dout, 0, bt, 0.0)
     bp = xp.shape[0]
@@ -390,6 +427,7 @@ def _layer_bwd(x, dout, seed, params, use_conv, use_ffn, dropout_p):
         functools.partial(
             _bwd_kernel,
             use_conv=use_conv, use_ffn=use_ffn, keep_prob=1.0 - dropout_p,
+            mm_bf16=mm_bf16,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bp, t, d), x.dtype),
@@ -407,33 +445,38 @@ def _layer_bwd(x, dout, seed, params, use_conv, use_ffn, dropout_p):
             *[_full_spec(p.shape) for p in plist],
         ),
         interpret=_interpret(1.0 - dropout_p),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(seed, xp, dp, *plist)
     dx = outs[0][:b]
     dparams = {n: g for n, g in zip(names, outs[1:])}
     return dx, dparams
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def fused_recurrent_layer(x, seed, params, use_conv, use_ffn, dropout_p):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def fused_recurrent_layer(x, seed, params, use_conv, use_ffn, dropout_p,
+                          mm_bf16=False):
     """Complete RecurrentLayer as one Pallas kernel.
 
     x: [B, T, D] block input; seed: int32[1] per-step dropout seed;
     params: dict with w_in [D,2C], wc [K,C], bc [C], wg [C,2C], bg [2C],
     lam [C], w_out [C,D], ln1_s/ln1_b [D], and (if use_ffn) w1 [D,4D],
     b1 [4D], w2 [4D,D], b2 [D], ln2_s/ln2_b [D].  All params fp32.
-    Static flags: use_conv, use_ffn, dropout_p (0.0 disables PRNG).
+    Static flags: use_conv, use_ffn, dropout_p (0.0 disables PRNG),
+    mm_bf16 (bf16 matmul operands / fp32 accumulate; scan+LN stay fp32).
     """
-    return _layer_fwd(x, seed, params, use_conv, use_ffn, dropout_p)
+    return _layer_fwd(x, seed, params, use_conv, use_ffn, dropout_p, mm_bf16)
 
 
-def _vjp_fwd(x, seed, params, use_conv, use_ffn, dropout_p):
-    out = _layer_fwd(x, seed, params, use_conv, use_ffn, dropout_p)
+def _vjp_fwd(x, seed, params, use_conv, use_ffn, dropout_p, mm_bf16):
+    out = _layer_fwd(x, seed, params, use_conv, use_ffn, dropout_p, mm_bf16)
     return out, (x, seed, params)
 
 
-def _vjp_bwd(use_conv, use_ffn, dropout_p, res, dout):
+def _vjp_bwd(use_conv, use_ffn, dropout_p, mm_bf16, res, dout):
     x, seed, params = res
-    dx, dparams = _layer_bwd(x, dout, seed, params, use_conv, use_ffn, dropout_p)
+    dx, dparams = _layer_bwd(
+        x, dout, seed, params, use_conv, use_ffn, dropout_p, mm_bf16
+    )
     return dx, None, dparams
 
 
@@ -442,3 +485,126 @@ fused_recurrent_layer.defvjp(_vjp_fwd, _vjp_bwd)
 
 def supports(d: int, c: int) -> bool:
     return d <= 128 and c <= 128
+
+
+# ---------------------------------------------------------------------------
+# Fused dropout -> LayerNorm (the embedding prologue, reference
+# RecBLR.py:76-78: emb_dropout then LayerNorm before the first layer).
+# XLA's composition materializes the rng bits, the keep mask, and f32
+# stats in HBM (~2.5 ms/step at B=2048, T=200 on v5e); this kernel does
+# the whole thing in VMEM with the in-kernel PRNG, and the backward
+# replays the mask instead of storing it.
+# ---------------------------------------------------------------------------
+
+
+def _dropout_ln_fwd_kernel(seed_ref, x_ref, s_ref, b_ref, o_ref, *, keep_prob):
+    if keep_prob < 1.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    x = x_ref[:].astype(jnp.float32)
+    if keep_prob < 1.0:
+        x = x * _dropout_mask(x.shape, keep_prob)
+    out, _, _ = _ln_fwd(x, s_ref[:].astype(jnp.float32), b_ref[:].astype(jnp.float32))
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _dropout_ln_bwd_kernel(
+    seed_ref, x_ref, dout_ref, s_ref, dx_ref, ds_ref, db_ref, *, keep_prob
+):
+    first = pl.program_id(0) == 0
+    if keep_prob < 1.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    x = x_ref[:].astype(jnp.float32)
+    dout = dout_ref[:].astype(jnp.float32)
+    scale = s_ref[:].astype(jnp.float32)
+    if keep_prob < 1.0:
+        m = _dropout_mask(x.shape, keep_prob)
+        xd = x * m
+    else:
+        m = None
+        xd = x
+    _, vhat, inv = _ln_fwd(xd, scale, jnp.zeros_like(scale))
+    dv, dscale, dbias = _ln_bwd(dout, vhat, inv, scale)
+    dx_ref[:] = (dv * m if m is not None else dv).astype(dx_ref.dtype)
+
+    @pl.when(first)
+    def _():
+        ds_ref[:] = jnp.zeros_like(ds_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    ds_ref[:] += dscale
+    db_ref[:] += dbias
+
+
+@functools.partial(jax.jit, static_argnames=("dropout_p",))
+def _dropout_ln_fwd(x, seed, scale, bias, dropout_p):
+    b, t, d = x.shape
+    bt = _block_rows(t, _FWD_BUDGET)
+    xp = _pad_to(x, 0, bt, 0.0)
+    bp = xp.shape[0]
+    block = pl.BlockSpec((bt, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_dropout_ln_fwd_kernel, keep_prob=1.0 - dropout_p),
+        out_shape=jax.ShapeDtypeStruct((bp, t, d), x.dtype),
+        grid=(bp // bt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            block,
+            _full_spec(scale.shape),
+            _full_spec(bias.shape),
+        ],
+        out_specs=block,
+        interpret=_interpret(1.0 - dropout_p),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(seed, xp, scale, bias)
+    return out[:b]
+
+
+@functools.partial(jax.jit, static_argnames=("dropout_p",))
+def _dropout_ln_bwd(x, dout, seed, scale, dropout_p):
+    b, t, d = x.shape
+    bt = _block_rows(t, _FWD_BUDGET)
+    xp = _pad_to(x, 0, bt, 0.0)
+    dp = _pad_to(dout, 0, bt, 0.0)
+    bp = xp.shape[0]
+    block = pl.BlockSpec((bt, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_dropout_ln_bwd_kernel, keep_prob=1.0 - dropout_p),
+        out_shape=(
+            jax.ShapeDtypeStruct((bp, t, d), x.dtype),
+            jax.ShapeDtypeStruct(scale.shape, jnp.float32),
+            jax.ShapeDtypeStruct(scale.shape, jnp.float32),
+        ),
+        grid=(bp // bt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            block,
+            block,
+            _full_spec(scale.shape),
+        ],
+        out_specs=(block, _full_spec(scale.shape), _full_spec(scale.shape)),
+        interpret=_interpret(1.0 - dropout_p),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(seed, xp, dp, scale)
+    return outs[0][:b], outs[1], outs[2]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_dropout_ln(x, seed, scale, bias, dropout_p):
+    """LN(dropout(x)) as one Pallas kernel (in-kernel PRNG; the backward
+    replays the identical mask).  x: [B, T, D]; seed: int32[1];
+    scale/bias: [D] fp32; dropout_p static (0.0 compiles the PRNG out).
+    """
+    return _dropout_ln_fwd(x, seed, scale, bias, dropout_p)
+
+
+def _dln_vjp_fwd(x, seed, scale, bias, dropout_p):
+    return _dropout_ln_fwd(x, seed, scale, bias, dropout_p), (x, seed, scale)
+
+
+def _dln_vjp_bwd(dropout_p, res, dout):
+    x, seed, scale = res
+    dx, dscale, dbias = _dropout_ln_bwd(x, dout, seed, scale, dropout_p)
+    return dx, None, dscale, dbias
+
+
+fused_dropout_ln.defvjp(_dln_vjp_fwd, _dln_vjp_bwd)

@@ -138,6 +138,7 @@ def run_unseen_experiment(
     config=None,
     train_df: pd.DataFrame | None = None,
     test_df: pd.DataFrame | None = None,
+    plot_dir: str = "plot",
 ) -> dict:
     """Full cold-start experiment; returns dict with seen/unseen results."""
     from datamining_recblr_tpu.config import Config
@@ -169,7 +170,11 @@ def run_unseen_experiment(
     )
 
     result = run_experiment(
-        config, data=data, plot_prefix=f"RecBLR_config_{mode}", make_plots=True
+        config,
+        data=data,
+        plot_prefix=f"RecBLR_config_{mode}",
+        plot_dir=plot_dir,
+        make_plots=True,
     )
     seen_result = result["test_result"]
     logger.info(f"seen-user test: {seen_result}")

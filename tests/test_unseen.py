@@ -39,6 +39,7 @@ def _setup_dataset(tmp_path, **kwargs):
             "item_inter_num_interval": "[1,inf)",
             "use_pallas_scan": "never",
             "checkpoint_dir": str(tmp_path / "saved"),
+            "log_dir": str(tmp_path / "log"),
         },
     )
     return cfg, df
@@ -112,13 +113,14 @@ def test_mode_none_skips_oov_users(tmp_path):
 
 def test_full_unseen_pipeline_both_modes(tmp_path):
     cfg, _ = _setup_dataset(tmp_path)
+    pdir = str(tmp_path / "plot")
     for mode in ["none", "pre"]:
-        out = run_unseen_experiment(mode=mode, config=cfg)
+        out = run_unseen_experiment(mode=mode, config=cfg, plot_dir=pdir)
         assert "hit@10" in out["unseen_result"]
         assert "ndcg@10" in out["unseen_result"]
         assert 0.0 <= out["unseen_result"]["ndcg@10"] <= 1.0
         assert out["n_evaluated"] >= 0
     # mode pre should evaluate at least as many users as mode none
-    out_none = run_unseen_experiment(mode="none", config=cfg)
-    out_pre = run_unseen_experiment(mode="pre", config=cfg)
+    out_none = run_unseen_experiment(mode="none", config=cfg, plot_dir=pdir)
+    out_pre = run_unseen_experiment(mode="pre", config=cfg, plot_dir=pdir)
     assert out_pre["n_evaluated"] >= out_none["n_evaluated"]
