@@ -1,8 +1,9 @@
-"""Profile the flagship RecBLR train step on the TPU and print the
-top device ops by total duration (parses the xplane proto directly;
-the tensorboard profile-plugin converter is broken in this image).
+"""Profile one model's train step on the TPU and print the top device
+ops by total duration (parses the xplane proto directly; the
+tensorboard profile-plugin converter is broken in this image).
 
-Usage: PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python python benchmarks/profile_step.py
+Usage: PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python \
+    python benchmarks/profile_step.py [trace_dir] [model]
 """
 
 import collections
@@ -17,21 +18,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def run_steps(trace_dir, n_items=3417, max_len=200, batch=2048, steps=6):
+def run_steps(trace_dir, model_name="RecBLR", n_items=3417, max_len=200,
+              batch=2048, steps=6):
     from datamining_recblr_tpu.config import Config
     from datamining_recblr_tpu.data.synthetic import synthetic_splits
     from datamining_recblr_tpu.models import get_model
     from datamining_recblr_tpu.train.optim import build_optimizer
 
     cfg = Config(
-        model="RecBLR",
+        model=model_name,
         config_dict={
             "MAX_ITEM_LIST_LENGTH": max_len,
             "compute_dtype": "bfloat16",
             "use_pallas_scan": "auto",
         },
     )
-    model = get_model("RecBLR")(cfg, n_items=n_items, max_seq_len=max_len)
+    model = get_model(model_name)(cfg, n_items=n_items, max_seq_len=max_len)
     optimizer = build_optimizer(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
     opt_state = optimizer.init(params)
@@ -109,6 +111,7 @@ def summarize(trace_dir, steps):
 
 if __name__ == "__main__":
     trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/recblr_prof"
+    model_name = sys.argv[2] if len(sys.argv) > 2 else "RecBLR"
     steps = 6
-    run_steps(trace_dir, steps=steps)
+    run_steps(trace_dir, model_name=model_name, steps=steps)
     summarize(trace_dir, steps)

@@ -97,6 +97,18 @@ class SequentialModel:
         idx = jnp.arange(logits.shape[-1])[None, :]
         return jnp.where(idx < self.n_items, logits, value)
 
+    def _use_fused_ce(self, v, d):
+        """Fused softmax-CE kernel gate: single-device TPU only (under
+        a mesh the XLA CE partitions vocab-wise via GSPMD) and the
+        [V, D] table must fit VMEM (ops/fused_ce.py)."""
+        from datamining_recblr_tpu.ops import fused_ce
+
+        return (
+            jax.default_backend() == "tpu"
+            and self.mesh is None
+            and fused_ce.supports(v, d)
+        )
+
     def full_sort_scores(self, params, item_seq, item_seq_len):
         """[B, n_items_padded] scores vs the whole catalog (reference
         RecBLR.py:114-122); padded vocab columns are -inf."""
@@ -120,7 +132,20 @@ class SequentialModel:
             pos = self.item_scores(params, seq_output, batch["pos_item"])
             neg = self.item_scores(params, seq_output, batch["neg_item"])
             return bpr_loss(pos, neg, weights)
-        table = params["item_embedding"].astype(seq_output.dtype)
+        table = params["item_embedding"]
+        if self._use_fused_ce(*table.shape):
+            from datamining_recblr_tpu.ops.fused_ce import fused_softmax_ce
+
+            nll = fused_softmax_ce(
+                seq_output, table, batch["pos_item"],
+                valid_v=self.n_items,
+                mm_bf16=self.compute_dtype == jnp.bfloat16,
+            )
+            if weights is None:
+                return jnp.mean(nll)
+            w = weights.astype(jnp.float32)
+            return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
+        table = table.astype(seq_output.dtype)
         logits = jnp.dot(seq_output, table.T, preferred_element_type=jnp.float32)
         logits = self._mask_padded_vocab(logits, value=-1e30)
         return ce_loss(logits, batch["pos_item"], weights)

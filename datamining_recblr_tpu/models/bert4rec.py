@@ -160,6 +160,18 @@ class BERT4Rec(SequentialModel):
             loss = -jnp.log(1e-14 + jax.nn.sigmoid(pos_score - neg_score))
             return jnp.sum(loss * w) / denom
 
+        h = sel_out.shape[-1]
+        if self._use_fused_ce(self.n_items, h):
+            from datamining_recblr_tpu.ops.fused_ce import fused_softmax_ce
+
+            nll = fused_softmax_ce(
+                sel_out.reshape(-1, h),
+                params["item_embedding"][: self.n_items],
+                jnp.maximum(sel_tgt, 0).reshape(-1),
+                bias=params["output_bias"],
+                mm_bf16=self.compute_dtype == jnp.bfloat16,
+            ).reshape(sel_tgt.shape)
+            return jnp.sum(nll * w) / denom
         table = params["item_embedding"][: self.n_items].astype(sel_out.dtype)
         logits = (
             jnp.einsum(

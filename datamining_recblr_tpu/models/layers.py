@@ -179,9 +179,49 @@ def transformer_encoder_apply(
 ):
     """Apply the post-LN transformer stack; returns final hidden states.
 
-    When ``lens``/``causal`` are given and a TPU backend is active, the
-    score/softmax/context block runs in the fused Pallas attention
-    kernel instead of XLA einsums."""
+    When ``lens``/``causal`` are given and a TPU backend is active, each
+    whole encoder layer runs as one fused Pallas kernel per direction
+    (ops/fused_block.py: QKV projections, per-head masked softmax
+    attention, output projection, both residual LayerNorms and the FFN,
+    with in-kernel PRNG dropout) — the [B,H,T,dh] head-split tensors
+    and [B,H,T,T] probabilities never touch HBM.  Unsupported shapes
+    fall back to the per-op composition below (which still uses the
+    fused attention kernel for the softmax block when it can)."""
+    if lens is not None and causal is not None and _use_fused_attention():
+        from datamining_recblr_tpu.ops import fused_block as FB
+
+        b, t, h = x.shape
+        inner = layers[0]["ffn_1"]["w"].shape[1]
+        if FB.supports(h, n_heads, inner, t, hidden_act):
+            training = rng is not None and not deterministic
+            p_hidden = float(hidden_dropout) if training else 0.0
+            p_attn = float(attn_dropout) if training else 0.0
+            mm_bf16 = x.dtype == jnp.bfloat16
+            for p in layers:
+                if training:
+                    rng, k_seed = jax.random.split(rng)
+                    seed = jax.random.randint(
+                        k_seed, (1,), 0, 2**31 - 1, dtype=jnp.int32
+                    )
+                else:
+                    seed = jnp.zeros((1,), jnp.int32)
+                fp = {
+                    "w_q": p["q"]["w"], "b_q": p["q"]["b"],
+                    "w_k": p["k"]["w"], "b_k": p["k"]["b"],
+                    "w_v": p["v"]["w"], "b_v": p["v"]["b"],
+                    "w_o": p["attn_out"]["w"], "b_o": p["attn_out"]["b"],
+                    "ln1_s": p["attn_ln"]["scale"], "ln1_b": p["attn_ln"]["bias"],
+                    "w1": p["ffn_1"]["w"], "b1": p["ffn_1"]["b"],
+                    "w2": p["ffn_2"]["w"], "b2": p["ffn_2"]["b"],
+                    "ln2_s": p["ffn_ln"]["scale"], "ln2_b": p["ffn_ln"]["bias"],
+                }
+                fp = {k: v.astype(jnp.float32) for k, v in fp.items()}
+                x = FB.fused_transformer_layer(
+                    x, lens, seed, fp, bool(causal), n_heads,
+                    p_hidden, p_attn, hidden_act, mm_bf16,
+                )
+            return x
+
     act = activation(hidden_act)
     for p in layers:
         if rng is not None:

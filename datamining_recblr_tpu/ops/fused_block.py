@@ -1,0 +1,477 @@
+"""Whole-layer fused Pallas kernel for one post-LN transformer block.
+
+One kernel per direction covers the complete encoder layer that both
+attention baselines delegate to (RecBole ``TransformerLayer`` — used by
+the reference via ``sasrec.py:59-68`` / ``bert4rec.py:70-79``):
+
+    q,k,v = x W_q + b_q, ...                (per-head weight slices)
+    s_h   = q_h k_h^T / sqrt(dh) + mask     (key-padding [+ causal])
+    p_h   = softmax(s_h);  p_h <- dropout   (in-kernel TPU PRNG)
+    ctx   = sum_h (p_h v_h) W_o[h] + b_o;   ctx <- dropout
+    r1    = LN1(ctx + x)
+    f     = dropout(act(r1 W_1 + b_1) W_2 + b_2)
+    out   = LN2(f + r1)
+
+The previous composition (separate fused-attention kernel + XLA
+epilogues) spent more time on [B,H,T,dh] layout copies/transposes than
+inside the kernel (profiled ~12 ms/step of pure `copy`/`convert` at
+B=2048, T=200 on v5e).  Here heads are formed by slicing the *weights*
+(tiny [D,D] arrays) instead of transposing activations, so HBM traffic
+per layer collapses to one read of x and one write of out (plus
+dout/dx in the backward).  Forward saves only x; the backward
+recomputes all activations in VMEM (regenerating bit-identical dropout
+masks by replaying the same PRNG draw order) and emits dx plus every
+weight gradient with in-kernel MXU matmuls accumulated across the
+batch grid.
+
+Constraints: hidden D <= 128, inner FFN size <= 2048, act in
+{gelu, relu, silu, tanh, sigmoid}; larger shapes fall back to the
+unfused composition in ``models/layers.py``.  GELU is the tanh
+approximation (matching ``jax.nn.gelu`` used on the XLA path; the
+reference's erf GELU differs by <1e-3 — documented deviation).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from datamining_recblr_tpu.ops.fused_layer import (
+    _dropout_mask,
+    _full_spec,
+    _interpret,
+    _ln_bwd,
+    _ln_fwd,
+    _make_mm,
+    _mmT,
+    _VMEM_LIMIT,
+)
+from datamining_recblr_tpu.ops.pallas_scan import _pad_to
+
+MASK_VALUE = -10000.0  # RecBole additive mask value (sasrec.py:107)
+
+_SQRT_2_OVER_PI = math.sqrt(2.0 / math.pi)
+_GELU_C = 0.044715
+
+
+def _act_pair(name):
+    """Returns (f(x), df(x)) elementwise activation + derivative, both
+    taking the pre-activation.  GELU is the tanh approximation
+    (jax.nn.gelu default) so fused and XLA paths agree bit-for-bit."""
+    if name == "relu":
+        return (
+            lambda x: jnp.maximum(x, 0.0),
+            lambda x: (x > 0.0).astype(x.dtype),
+        )
+    if name in ("silu", "swish"):
+        def f(x):
+            return x * jax.nn.sigmoid(x)
+
+        def df(x):
+            s = jax.nn.sigmoid(x)
+            return s * (1.0 + x * (1.0 - s))
+
+        return f, df
+    if name == "tanh":
+        return jnp.tanh, lambda x: 1.0 - jnp.square(jnp.tanh(x))
+    if name == "sigmoid":
+        def df(x):
+            s = jax.nn.sigmoid(x)
+            return s * (1.0 - s)
+
+        return jax.nn.sigmoid, df
+    if name == "gelu":
+        def f(x):
+            g = _SQRT_2_OVER_PI * (x + _GELU_C * x * x * x)
+            return 0.5 * x * (1.0 + jnp.tanh(g))
+
+        def df(x):
+            g = _SQRT_2_OVER_PI * (x + _GELU_C * x * x * x)
+            th = jnp.tanh(g)
+            dg = _SQRT_2_OVER_PI * (1.0 + 3.0 * _GELU_C * x * x)
+            return 0.5 * (1.0 + th) + 0.5 * x * (1.0 - th * th) * dg
+
+        return f, df
+    raise ValueError(f"unsupported activation for fused block: {name}")
+
+
+SUPPORTED_ACTS = ("gelu", "relu", "silu", "swish", "tanh", "sigmoid")
+
+
+def supports(d: int, n_heads: int, inner: int, t: int, act: str) -> bool:
+    return (
+        d <= 128
+        and d % n_heads == 0
+        and inner <= 2048
+        and t <= 1024
+        and act in SUPPORTED_ACTS
+    )
+
+
+_PARAM_NAMES = [
+    "w_q", "b_q", "w_k", "b_k", "w_v", "b_v", "w_o", "b_o",
+    "ln1_s", "ln1_b", "w1", "b1", "w2", "b2", "ln2_s", "ln2_b",
+]
+
+# The [rows, T, T] score/probability arrays dominate kernel VMEM, so
+# block height scales as rows*T^2 (unlike fused_layer's rows*T): 16
+# rows at T=200 measured fastest (bwd 6.08 -> 5.89 ms/step on v5e);
+# 32 rows OOMs the 100 MiB scoped limit.
+_SCORE_BUDGET = 16 * 200 * 200
+
+
+def _attn_block_rows(t: int) -> int:
+    return max(1, min(16, _SCORE_BUDGET // (t * t)))
+
+
+def _params_from_refs(refs):
+    return {n: r[:].astype(jnp.float32) for n, r in zip(_PARAM_NAMES, refs)}
+
+
+def _pad_mask_rows(lens, t):
+    """[B, 1, T] additive key-padding mask rows (0 keep / -10000 drop),
+    precomputed host-of-kernel so the kernel's lens input has a
+    Mosaic-tileable [bt, 1, T] block for any block height."""
+    col = jnp.arange(t, dtype=jnp.int32)[None, :]
+    return jnp.where(col < lens[:, None], 0.0, MASK_VALUE).astype(
+        jnp.float32
+    )[:, None, :]
+
+
+def _additive_mask(padrow, t, causal):
+    """[BT, T, T] additive mask from [BT, 1, T] padding rows + optional
+    in-kernel causal iota (0 keep / -10000 drop, parity with the
+    reference sasrec.py:107 / bert4rec.py:132: minimum keeps the value
+    at exactly -10000 where both masks drop)."""
+    bt = padrow.shape[0]
+    amask = jnp.broadcast_to(padrow, (bt, t, t))
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (bt, t, t), 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (bt, t, t), 2)
+        amask = jnp.minimum(
+            amask, jnp.where(col <= row, 0.0, MASK_VALUE)
+        )
+    return amask
+
+
+def _bmm(a, b, dims, mm_bf16=False):
+    """Batched matmul over leading dim with fp32 accumulation; with
+    ``mm_bf16`` the operands are cast to bf16 first (same production
+    matmul policy as fused_layer — softmax/LN math stays fp32)."""
+    if mm_bf16:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(dims, ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _block_fwd_core(x, padrow, p, *, causal, n_heads, kp_h, kp_a, act,
+                    mm_bf16, seeded):
+    """Shared forward math on an f32 [BT, T, D] block.  Returns the
+    intermediates the backward needs (recomputed there).  PRNG draw
+    order (must match the backward recompute exactly): per-head attn
+    masks, then the post-attention hidden mask, then the post-FFN
+    hidden mask."""
+    _mm = _make_mm(mm_bf16)
+    act_f, _ = _act_pair(act)
+    bt, t, d = x.shape
+    dh = d // n_heads
+    scale = 1.0 / math.sqrt(dh)
+    x2 = x.reshape(bt * t, d)
+    amask = _additive_mask(padrow, t, causal)
+
+    ao2 = None
+    heads = []
+    for h in range(n_heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        qh = (_mm(x2, p["w_q"][:, sl]) + p["b_q"][sl]).reshape(bt, t, dh)
+        kh = (_mm(x2, p["w_k"][:, sl]) + p["b_k"][sl]).reshape(bt, t, dh)
+        vh = (_mm(x2, p["w_v"][:, sl]) + p["b_v"][sl]).reshape(bt, t, dh)
+        s = _bmm(qh, kh, ((2,), (2,)), mm_bf16) * scale + amask
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        pr = e / jnp.sum(e, axis=-1, keepdims=True)
+        if seeded and kp_a < 1.0:
+            m_a = _dropout_mask(pr.shape, kp_a)
+            pd = pr * m_a
+        else:
+            m_a = None
+            pd = pr
+        ctx_h = _bmm(pd, vh, ((2,), (1,)), mm_bf16)  # [bt, t, dh]
+        contrib = _mm(ctx_h.reshape(bt * t, dh), p["w_o"][sl, :])
+        ao2 = contrib if ao2 is None else ao2 + contrib
+        heads.append(
+            dict(qh=qh, kh=kh, vh=vh, pr=pr, pd=pd, m_a=m_a, ctx_h=ctx_h)
+        )
+
+    ao = (ao2 + p["b_o"]).reshape(bt, t, d)
+    if seeded and kp_h < 1.0:
+        m1 = _dropout_mask(ao.shape, kp_h)
+        ao = ao * m1
+    else:
+        m1 = None
+    r1, vhat1, inv1 = _ln_fwd(ao + x, p["ln1_s"], p["ln1_b"])
+
+    r1f = r1.reshape(bt * t, d)
+    pre1 = (_mm(r1f, p["w1"]) + p["b1"]).reshape(bt, t, -1)
+    a1 = act_f(pre1)
+    f2 = (_mm(a1.reshape(bt * t, -1), p["w2"]) + p["b2"]).reshape(bt, t, d)
+    if seeded and kp_h < 1.0:
+        m2 = _dropout_mask(f2.shape, kp_h)
+        f2 = f2 * m2
+    else:
+        m2 = None
+    out, vhat2, inv2 = _ln_fwd(f2 + r1, p["ln2_s"], p["ln2_b"])
+    return dict(
+        heads=heads, amask=amask, m1=m1, m2=m2, r1=r1, vhat1=vhat1,
+        inv1=inv1, pre1=pre1, a1=a1, vhat2=vhat2, inv2=inv2, out=out,
+    )
+
+
+def _fwd_kernel(seed_ref, x_ref, len_ref, *refs, causal, n_heads, kp_h,
+                kp_a, act, mm_bf16):
+    out_ref = refs[-1]
+    param_refs = refs[:-1]
+    if kp_h < 1.0 or kp_a < 1.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    x = x_ref[:].astype(jnp.float32)
+    padrow = len_ref[:].astype(jnp.float32)
+    p = _params_from_refs(param_refs)
+    res = _block_fwd_core(
+        x, padrow, p, causal=causal, n_heads=n_heads, kp_h=kp_h, kp_a=kp_a,
+        act=act, mm_bf16=mm_bf16, seeded=True,
+    )
+    out_ref[:] = res["out"].astype(out_ref.dtype)
+
+
+def _bwd_kernel(seed_ref, x_ref, len_ref, dout_ref, *refs, causal, n_heads,
+                kp_h, kp_a, act, mm_bf16):
+    n_params = len(_PARAM_NAMES)
+    param_refs = refs[:n_params]
+    dx_ref = refs[n_params]
+    grad_refs = refs[n_params + 1:]
+    first = pl.program_id(0) == 0
+    _mm = _make_mm(mm_bf16)
+    _, act_df = _act_pair(act)
+
+    if kp_h < 1.0 or kp_a < 1.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    x = x_ref[:].astype(jnp.float32)
+    padrow = len_ref[:].astype(jnp.float32)
+    dout = dout_ref[:].astype(jnp.float32)
+    p = _params_from_refs(param_refs)
+    bt, t, d = x.shape
+    dh = d // n_heads
+    scale = 1.0 / math.sqrt(dh)
+    x2 = x.reshape(bt * t, d)
+
+    # recompute forward (same PRNG draw order as _fwd_kernel)
+    res = _block_fwd_core(
+        x, padrow, p, causal=causal, n_heads=n_heads, kp_h=kp_h, kp_a=kp_a,
+        act=act, mm_bf16=mm_bf16, seeded=True,
+    )
+
+    grads = {}
+    dv2, grads["ln2_s"], grads["ln2_b"] = _ln_bwd(
+        dout, res["vhat2"], res["inv2"], p["ln2_s"]
+    )
+    df2 = dv2 * res["m2"] if res["m2"] is not None else dv2
+    dr1 = dv2  # residual branch
+    df2_2 = df2.reshape(bt * t, d)
+    a1_2 = res["a1"].reshape(bt * t, -1)
+    grads["w2"] = _mmT(a1_2, df2_2)
+    grads["b2"] = jnp.sum(df2_2, axis=0)
+    da1 = _mm(df2_2, p["w2"].T).reshape(bt, t, -1)
+    dpre1 = da1 * act_df(res["pre1"])
+    dpre1_2 = dpre1.reshape(bt * t, -1)
+    r1f = res["r1"].reshape(bt * t, d)
+    grads["w1"] = _mmT(r1f, dpre1_2)
+    grads["b1"] = jnp.sum(dpre1_2, axis=0)
+    dr1 = dr1 + _mm(dpre1_2, p["w1"].T).reshape(bt, t, d)
+
+    dv1, grads["ln1_s"], grads["ln1_b"] = _ln_bwd(
+        dr1, res["vhat1"], res["inv1"], p["ln1_s"]
+    )
+    dx = dv1  # residual into x
+    dao = dv1 * res["m1"] if res["m1"] is not None else dv1
+    dao2 = dao.reshape(bt * t, d)
+    grads["b_o"] = jnp.sum(dao2, axis=0)
+
+    wo_rows, wq_cols, wk_cols, wv_cols = [], [], [], []
+    bq_parts, bk_parts, bv_parts = [], [], []
+    for h in range(n_heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        hd = res["heads"][h]
+        ctx2 = hd["ctx_h"].reshape(bt * t, dh)
+        wo_rows.append(_mmT(ctx2, dao2))
+        dctx = _mm(dao2, p["w_o"][sl, :].T).reshape(bt, t, dh)
+        # attention backward (math of ops/attention.py _bwd_kernel)
+        pd, pr = hd["pd"], hd["pr"]
+        dvh = _bmm(pd, dctx, ((1,), (1,)), mm_bf16)   # [bt, t_k, dh]
+        dpd = _bmm(dctx, hd["vh"], ((2,), (2,)), mm_bf16)  # [bt, t_q, t_k]
+        dp = dpd * hd["m_a"] if hd["m_a"] is not None else dpd
+        ds = pr * (dp - jnp.sum(dp * pr, axis=-1, keepdims=True))
+        dqh = _bmm(ds, hd["kh"], ((2,), (1,)), mm_bf16) * scale
+        dkh = _bmm(ds, hd["qh"], ((1,), (1,)), mm_bf16) * scale
+        dq2 = dqh.reshape(bt * t, dh)
+        dk2 = dkh.reshape(bt * t, dh)
+        dv2h = dvh.reshape(bt * t, dh)
+        wq_cols.append(_mmT(x2, dq2))
+        wk_cols.append(_mmT(x2, dk2))
+        wv_cols.append(_mmT(x2, dv2h))
+        bq_parts.append(jnp.sum(dq2, axis=0))
+        bk_parts.append(jnp.sum(dk2, axis=0))
+        bv_parts.append(jnp.sum(dv2h, axis=0))
+        dx = dx + (
+            _mm(dq2, p["w_q"][:, sl].T)
+            + _mm(dk2, p["w_k"][:, sl].T)
+            + _mm(dv2h, p["w_v"][:, sl].T)
+        ).reshape(bt, t, d)
+
+    grads["w_o"] = jnp.concatenate(wo_rows, axis=0)
+    grads["w_q"] = jnp.concatenate(wq_cols, axis=1)
+    grads["w_k"] = jnp.concatenate(wk_cols, axis=1)
+    grads["w_v"] = jnp.concatenate(wv_cols, axis=1)
+    grads["b_q"] = jnp.concatenate(bq_parts, axis=0)
+    grads["b_k"] = jnp.concatenate(bk_parts, axis=0)
+    grads["b_v"] = jnp.concatenate(bv_parts, axis=0)
+
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+    @pl.when(first)
+    def _():
+        for ref in grad_refs:
+            ref[:] = jnp.zeros_like(ref)
+
+    for name, ref in zip(_PARAM_NAMES, grad_refs):
+        ref[:] += grads[name]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "causal", "n_heads", "hidden_dropout_p", "attn_dropout_p", "act",
+        "mm_bf16", "block_rows",
+    ),
+)
+def _block_fwd(x, lens, seed, params, causal, n_heads, hidden_dropout_p,
+               attn_dropout_p, act, mm_bf16=False, block_rows=0):
+    b, t, d = x.shape
+    bt = block_rows or _attn_block_rows(t)
+    xp = _pad_to(x, 0, bt, 0.0)
+    lp = _pad_to(_pad_mask_rows(lens, t), 0, bt, 0.0)
+    bp = xp.shape[0]
+    kp_h, kp_a = 1.0 - hidden_dropout_p, 1.0 - attn_dropout_p
+    block = pl.BlockSpec((bt, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    len_spec = pl.BlockSpec((bt, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    plist = [params[n] for n in _PARAM_NAMES]
+    out = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, causal=causal, n_heads=n_heads, kp_h=kp_h,
+            kp_a=kp_a, act=act, mm_bf16=mm_bf16,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bp, t, d), x.dtype),
+        grid=(bp // bt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            block, len_spec,
+            *[_full_spec(p.shape) for p in plist],
+        ],
+        out_specs=block,
+        interpret=_interpret(min(kp_h, kp_a)),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(seed, xp, lp, *plist)
+    return out[:b]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "causal", "n_heads", "hidden_dropout_p", "attn_dropout_p", "act",
+        "mm_bf16", "block_rows",
+    ),
+)
+def _block_bwd(x, lens, dout, seed, params, causal, n_heads,
+               hidden_dropout_p, attn_dropout_p, act, mm_bf16=False,
+               block_rows=0):
+    b, t, d = x.shape
+    bt = block_rows or _attn_block_rows(t)
+    xp = _pad_to(x, 0, bt, 0.0)
+    dp_ = _pad_to(dout, 0, bt, 0.0)
+    lp = _pad_to(_pad_mask_rows(lens, t), 0, bt, 0.0)
+    bp = xp.shape[0]
+    kp_h, kp_a = 1.0 - hidden_dropout_p, 1.0 - attn_dropout_p
+    block = pl.BlockSpec((bt, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    len_spec = pl.BlockSpec((bt, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    plist = [params[n] for n in _PARAM_NAMES]
+    outs = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, causal=causal, n_heads=n_heads, kp_h=kp_h,
+            kp_a=kp_a, act=act, mm_bf16=mm_bf16,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bp, t, d), x.dtype),
+            *[jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in plist],
+        ),
+        grid=(bp // bt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            block, len_spec, block,
+            *[_full_spec(p.shape) for p in plist],
+        ],
+        out_specs=(block, *[_full_spec(p.shape) for p in plist]),
+        interpret=_interpret(min(kp_h, kp_a)),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(seed, xp, lp, dp_, *plist)
+    dx = outs[0][:b]
+    dparams = {n: g for n, g in zip(_PARAM_NAMES, outs[1:])}
+    return dx, dparams
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def fused_transformer_layer(x, lens, seed, params, causal, n_heads,
+                            hidden_dropout_p, attn_dropout_p, act,
+                            mm_bf16=False):
+    """Complete post-LN transformer encoder layer as one Pallas kernel.
+
+    x: [B, T, D] block input; lens: int32 [B] valid key lengths; seed:
+    int32[1] per-step dropout seed; params: dict with w_q/w_k/w_v/w_o
+    [D,D], b_q/b_k/b_v/b_o [D], ln1_s/ln1_b [D], w1 [D,I], b1 [I],
+    w2 [I,D], b2 [D], ln2_s/ln2_b [D] — all fp32.  Static flags:
+    causal, n_heads, hidden_dropout_p, attn_dropout_p (both 0.0 compile
+    the PRNG out), act name, mm_bf16 (bf16 matmul operands / fp32
+    accumulate; softmax + LN stay fp32).
+    """
+    return _block_fwd(
+        x, lens, seed, params, causal, n_heads, hidden_dropout_p,
+        attn_dropout_p, act, mm_bf16,
+    )
+
+
+def _vjp_fwd(x, lens, seed, params, causal, n_heads, hidden_dropout_p,
+             attn_dropout_p, act, mm_bf16):
+    out = _block_fwd(
+        x, lens, seed, params, causal, n_heads, hidden_dropout_p,
+        attn_dropout_p, act, mm_bf16,
+    )
+    return out, (x, lens, seed, params)
+
+
+def _vjp_bwd(causal, n_heads, hidden_dropout_p, attn_dropout_p, act,
+             mm_bf16, res, dout):
+    x, lens, seed, params = res
+    dx, dparams = _block_bwd(
+        x, lens, dout, seed, params, causal, n_heads, hidden_dropout_p,
+        attn_dropout_p, act, mm_bf16,
+    )
+    return dx, None, None, dparams
+
+
+fused_transformer_layer.defvjp(_vjp_fwd, _vjp_bwd)

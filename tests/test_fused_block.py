@@ -1,0 +1,134 @@
+"""Fused whole-transformer-layer kernel vs the XLA composition.
+
+Checks forward and gradient parity of ops/fused_block.py (interpret
+mode on CPU) against the per-op path in models/layers.py with dropout
+disabled, across causal/bidirectional masks and activations.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from datamining_recblr_tpu.models import layers as L
+from datamining_recblr_tpu.ops import fused_block as FB
+
+
+def _nested_to_flat(p):
+    return {
+        "w_q": p["q"]["w"], "b_q": p["q"]["b"],
+        "w_k": p["k"]["w"], "b_k": p["k"]["b"],
+        "w_v": p["v"]["w"], "b_v": p["v"]["b"],
+        "w_o": p["attn_out"]["w"], "b_o": p["attn_out"]["b"],
+        "ln1_s": p["attn_ln"]["scale"], "ln1_b": p["attn_ln"]["bias"],
+        "w1": p["ffn_1"]["w"], "b1": p["ffn_1"]["b"],
+        "w2": p["ffn_2"]["w"], "b2": p["ffn_2"]["b"],
+        "ln2_s": p["ffn_ln"]["scale"], "ln2_b": p["ffn_ln"]["bias"],
+    }
+
+
+def _setup(seed=0, b=4, t=12, d=16, n_heads=2, inner=32):
+    rng = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    layers = L.transformer_encoder_init(k1, 1, n_heads, d, inner)
+    x = 0.5 * jax.random.normal(k2, (b, t, d), jnp.float32)
+    lens = jax.random.randint(k3, (b,), 1, t + 1).astype(jnp.int32)
+    item_seq = jnp.where(
+        jnp.arange(t)[None, :] < lens[:, None],
+        jnp.ones((b, t), jnp.int32),
+        0,
+    )
+    return layers, x, lens, item_seq
+
+
+@pytest.mark.parametrize("causal", [True, False])
+@pytest.mark.parametrize("act", ["gelu", "relu", "silu"])
+def test_fused_block_forward_matches_xla(causal, act):
+    layers, x, lens, item_seq = _setup()
+    mask = L.attention_mask(item_seq, bidirectional=not causal)
+    ref = L.transformer_encoder_apply(
+        layers, x, mask, n_heads=2, hidden_dropout=0.0, attn_dropout=0.0,
+        hidden_act=act, deterministic=True, rng=None,
+    )
+    fp = _nested_to_flat(layers[0])
+    seed = jnp.zeros((1,), jnp.int32)
+    out = FB.fused_transformer_layer(x, lens, seed, fp, causal, 2, 0.0, 0.0, act)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_fused_block_grads_match_xla(causal):
+    layers, x, lens, item_seq = _setup(seed=1)
+    mask = L.attention_mask(item_seq, bidirectional=not causal)
+    seed = jnp.zeros((1,), jnp.int32)
+
+    def loss_ref(x, nested):
+        out = L.transformer_encoder_apply(
+            [nested], x, mask, n_heads=2, hidden_dropout=0.0,
+            attn_dropout=0.0, hidden_act="gelu", deterministic=True, rng=None,
+        )
+        return jnp.sum(out * out)
+
+    def loss_fused(x, nested):
+        out = FB.fused_transformer_layer(
+            x, lens, seed, _nested_to_flat(nested), causal, 2, 0.0, 0.0, "gelu"
+        )
+        return jnp.sum(out * out)
+
+    gx_ref, gp_ref = jax.grad(loss_ref, argnums=(0, 1))(x, layers[0])
+    gx, gp = jax.grad(loss_fused, argnums=(0, 1))(x, layers[0])
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=3e-4)
+    flat_ref, _ = jax.tree_util.tree_flatten_with_path(gp_ref)
+    flat, _ = jax.tree_util.tree_flatten_with_path(gp)
+    for (path_r, g_r), (path, g) in zip(flat_ref, flat):
+        assert path_r == path
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(g_r), atol=3e-4,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+        )
+
+
+def test_fused_block_multihead_supports_gate():
+    assert FB.supports(64, 2, 256, 200, "gelu")
+    assert not FB.supports(256, 2, 256, 200, "gelu")  # d too large
+    assert not FB.supports(64, 3, 256, 200, "gelu")   # d % heads != 0
+    assert not FB.supports(64, 2, 256, 2048, "gelu")  # t too long
+    assert not FB.supports(64, 2, 256, 200, "mish")   # unsupported act
+
+
+def test_sasrec_forward_with_fused_block(monkeypatch):
+    """End-to-end: SASRec forward through the fused encoder path
+    (forced on CPU interpret mode) matches the default composition."""
+    from datamining_recblr_tpu.config import Config
+    from datamining_recblr_tpu.models import get_model
+
+    cfg = Config(
+        model="SASRec",
+        config_dict={"MAX_ITEM_LIST_LENGTH": 12, "hidden_size": 16,
+                     "inner_size": 32, "n_layers": 2, "n_heads": 2},
+    )
+    model = get_model("SASRec")(cfg, n_items=50, max_seq_len=12)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    lens = rng.integers(1, 13, size=6).astype(np.int32)
+    seq = rng.integers(1, 50, size=(6, 12)).astype(np.int32)
+    seq = np.where(np.arange(12)[None] < lens[:, None], seq, 0)
+    seq, lens = jnp.asarray(seq), jnp.asarray(lens)
+
+    ref = model.forward(params, seq, lens)
+    monkeypatch.setattr(L, "_use_fused_attention", lambda: True)
+    got = model.forward(params, seq, lens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+
+def test_fused_block_four_heads():
+    layers, x, lens, item_seq = _setup(seed=2, d=32, n_heads=4, inner=64)
+    mask = L.attention_mask(item_seq, bidirectional=False)
+    ref = L.transformer_encoder_apply(
+        layers, x, mask, n_heads=4, hidden_dropout=0.0, attn_dropout=0.0,
+        hidden_act="gelu", deterministic=True, rng=None,
+    )
+    fp = _nested_to_flat(layers[0])
+    seed = jnp.zeros((1,), jnp.int32)
+    out = FB.fused_transformer_layer(x, lens, seed, fp, True, 4, 0.0, 0.0, "gelu")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
