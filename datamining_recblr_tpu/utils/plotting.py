@@ -24,6 +24,7 @@ def records_to_dataframe(epoch_records: list[dict]) -> pd.DataFrame:
             "valid_score": r.get("valid_score"),
             "train_time": r.get("train_time"),
             "eval_time": r.get("eval_time"),
+            "device_mem_gb": r.get("device_mem_gb"),
         }
         for k, v in r.items():
             if k.startswith("valid_") and k != "valid_score":
@@ -90,20 +91,23 @@ def generate_comparison_plots(
 
     os.makedirs(out_dir, exist_ok=True)
     frames = {name: records_to_dataframe(recs) for name, recs in runs.items()}
-    for metric, fname in [
-        ("train_time", f"{prefix}_train_time.png"),
-        ("eval_time", f"{prefix}_eval_time.png"),
+    for metric, fname, agg in [
+        ("train_time", f"{prefix}_train_time.png", "mean"),
+        ("eval_time", f"{prefix}_eval_time.png", "mean"),
+        # reference plot_utils.py:155-206 also bars peak GPU memory
+        ("device_mem_gb", f"{prefix}_device_mem.png", "max"),
     ]:
         names, vals = [], []
         for name, df in frames.items():
             if metric in df.columns and df[metric].notna().any():
                 names.append(name)
-                vals.append(float(df[metric].mean()))
+                vals.append(float(getattr(df[metric], agg)()))
         if not names:
             continue
         fig, ax = plt.subplots(figsize=(6, 4))
         ax.bar(names, vals)
-        ax.set_ylabel(f"mean {metric} (s)")
+        unit = "GB" if metric.endswith("_gb") else "s"
+        ax.set_ylabel(f"{agg} {metric} ({unit})")
         ax.set_title(metric)
         fig.tight_layout()
         fig.savefig(os.path.join(out_dir, fname), dpi=110)

@@ -6,10 +6,10 @@ from a template and shelling out a fresh interpreter per run
 boundary), each variant is an in-memory Config and runs in this
 process, sharing the loaded dataset.
 
-Experiments (parity with reference ``full_exp.py:79-116``):
-  --exp model   RecBLR ablations: default / 1layer / bdlru / noconv / noff
-  --exp comp    model comparison: RecBLR / BERT4Rec / SASRec
-  --exp unseen  cold-start pipeline, modes none / pre
+Experiments (parity with reference ``full_exp.py:118-160``):
+  --exp comp    ablations of one --model: default / 1layer / bdlru / noconv / noff / all
+  --exp model   model comparison: RecBLR / BERT4Rec / SASRec
+  --exp unseen  cold-start pipeline, modes none / pre (default: both)
 """
 
 import argparse
@@ -31,8 +31,12 @@ ABLATIONS = {
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--exp", choices=["model", "comp", "unseen"], default="model")
-    ap.add_argument("--mode", default="all", help="ablation/unseen mode or 'all'")
+    ap.add_argument(
+        "--model", choices=["r", "b", "s", "R", "B", "S"], default="r",
+        help="model for --exp comp ablations (r=RecBLR, b=BERT4Rec, s=SASRec)",
+    )
+    ap.add_argument("--exp", choices=["comp", "model", "unseen"], required=True)
+    ap.add_argument("--mode", default=None, help="ablation/unseen mode or 'all'")
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--dataset", default=None)
     ap.add_argument("--config", action="append", default=None)
@@ -51,7 +55,12 @@ def main():
     if args.exp == "unseen":
         from run_with_unseen import run_unseen_experiment
 
-        modes = ["none", "pre"] if args.mode == "all" else [args.mode]
+        # reference full_exp.py:149-156: no --mode runs both none and pre
+        modes = (
+            ["none", "pre"]
+            if args.mode in (None, "all")
+            else [args.mode]
+        )
         for mode in modes:
             run_unseen_experiment(
                 mode=mode, dataset=args.dataset, config_files=files,
@@ -59,21 +68,30 @@ def main():
             )
         return
 
-    if args.exp == "model":
-        variants = (
-            list(ABLATIONS) if args.mode == "all" else [args.mode]
-        )
+    if args.exp == "comp":
+        # ablations of one model (reference full_exp.py:127-143)
+        if args.mode is None:
+            ap.error(
+                "--exp comp needs --mode: default, 1layer, bdlru, noconv, noff, all"
+            )
+        model_name = {"r": "RecBLR", "b": "BERT4Rec", "s": "SASRec"}[
+            args.model.lower()
+        ]
+        variants = list(ABLATIONS) if args.mode == "all" else [args.mode]
         runs = {}
         data = None
         for name in variants:
+            # ablation flags only act on RecBLR; the reference's run.py:42-45
+            # force-resets them for B/S, which we mirror here
+            flags = ABLATIONS[name] if model_name == "RecBLR" else {}
             cfg = Config(
-                model="RecBLR",
+                model=model_name,
                 dataset=args.dataset,
                 config_file_list=files,
-                config_dict={**base_overrides, **ABLATIONS[name]},
+                config_dict={**base_overrides, **flags},
             )
             result = run_experiment(
-                cfg, data=data, plot_prefix=f"RecBLR_{name}"
+                cfg, data=data, plot_prefix=f"{model_name}_{name}"
             )
             data = result["data"]  # share across variants
             runs[name] = result["metrics"].epoch_records()
@@ -81,7 +99,7 @@ def main():
         generate_comparison_plots(runs, prefix="ablation")
         return
 
-    # --exp comp: cross-model comparison
+    # --exp model: cross-model comparison (reference full_exp.py:106-112)
     models = ["RecBLR", "BERT4Rec", "SASRec"]
     runs = {}
     data = None

@@ -109,3 +109,30 @@ def test_prepare_item_features_cli(toy_env, monkeypatch):
     )
     pif.main()
     assert os.path.exists(tmp_path / "dataset" / "toy" / "toy_item_features.csv")
+
+
+def test_full_exp_comp_is_ablation_of_one_model(toy_env, monkeypatch):
+    # reference full_exp.py:127-143: --exp comp = ablations of --model
+    tmp_path, cfg = toy_env
+    import full_exp
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["full_exp.py", "--exp", "comp", "--model", "r", "--mode", "1layer",
+         "--config", cfg],
+    )
+    full_exp.main()
+    assert os.path.exists(
+        tmp_path / "plot" / "RecBLR_1layer_training_metrics.csv"
+    )
+
+
+def test_full_exp_comp_requires_mode(toy_env, monkeypatch):
+    tmp_path, cfg = toy_env
+    import full_exp
+
+    monkeypatch.setattr(
+        sys, "argv", ["full_exp.py", "--exp", "comp", "--config", cfg]
+    )
+    with pytest.raises(SystemExit):
+        full_exp.main()
