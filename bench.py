@@ -13,6 +13,7 @@ examples/s on the current chip.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import argparse
 import json
 import time
 
@@ -24,7 +25,7 @@ import jax.numpy as jnp
 BASELINE_EXAMPLES_PER_S = 16100.0  # A100-40GB, paper Table 5 (61 s/epoch)
 
 
-def main():
+def main(model_name: str = "RecBLR"):
     from datamining_recblr_tpu.config import Config
     from datamining_recblr_tpu.data.synthetic import synthetic_splits
     from datamining_recblr_tpu.models import get_model
@@ -37,7 +38,7 @@ def main():
     n_items, max_len = 3417, 200  # ML-1M after 5-core, max list length 200
 
     cfg = Config(
-        model="RecBLR",
+        model=model_name,
         config_dict={
             "MAX_ITEM_LIST_LENGTH": max_len,
             # production precision policy: bf16 matmuls, fp32 scan+CE
@@ -45,7 +46,7 @@ def main():
             "use_pallas_scan": "auto",
         },
     )
-    model = get_model("RecBLR")(cfg, n_items=n_items, max_seq_len=max_len)
+    model = get_model(model_name)(cfg, n_items=n_items, max_seq_len=max_len)
     optimizer = build_optimizer(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
     opt_state = optimizer.init(params)
@@ -104,7 +105,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "recblr_train_examples_per_s_per_chip_ml1m_shape",
+                "metric": f"{model_name.lower()}_train_examples_per_s_per_chip_ml1m_shape",
                 "value": round(examples_per_s, 1),
                 "unit": "examples/s",
                 "vs_baseline": round(examples_per_s / BASELINE_EXAMPLES_PER_S, 3),
@@ -114,4 +115,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--model", default="RecBLR", choices=["RecBLR", "SASRec", "BERT4Rec"],
+        help="model to bench (the driver runs the default, RecBLR)",
+    )
+    main(ap.parse_args().model)

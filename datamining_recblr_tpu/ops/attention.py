@@ -23,6 +23,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from datamining_recblr_tpu.ops import fastmath
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -61,7 +63,7 @@ def _probs(q, k, lens, causal, keep_prob, scale):
     ) * scale
     s = s + _attn_mask(lens, q.shape[1], causal)
     s = s - jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s)
+    e = fastmath.exp(s)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
     if keep_prob < 1.0:
         pd = p * _dropout_mask(p.shape, keep_prob)

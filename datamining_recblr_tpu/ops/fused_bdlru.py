@@ -50,6 +50,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from datamining_recblr_tpu.ops import fastmath
 from datamining_recblr_tpu.ops.pallas_scan import _pad_to, _scan_body
 
 LANE = 128
@@ -99,7 +100,7 @@ def _conv_fwd(x, wc, bc):
 
 
 def _silu(u):
-    return u * jax.nn.sigmoid(u)
+    return u * fastmath.sigmoid(u)
 
 
 def _gate_math(xc, wg, bg, lam, mm_bf16=False):
@@ -113,9 +114,9 @@ def _gate_math(xc, wg, bg, lam, mm_bf16=False):
     g = jnp.dot(x2, wg, preferred_element_type=jnp.float32) + bg
     g = g.reshape(bt, t, 2 * c)
     r, i = g[..., :c], g[..., c:]
-    sr = jax.nn.sigmoid(r)
-    si = jax.nn.sigmoid(i)
-    alpha = jnp.exp(-jax.nn.softplus(lam) * sr)
+    sr = fastmath.sigmoid(r)
+    si = fastmath.sigmoid(i)
+    alpha = fastmath.exp(-jax.nn.softplus(lam) * sr)
     s = jnp.sqrt(1.0 - alpha * alpha + EPS)
     beta = s * si
     return alpha, beta, sr, si, s
@@ -156,7 +157,7 @@ def _bwd_kernel(
     # recompute forward
     if use_conv:
         u = _conv_fwd(x, wc, bc_ref[:].astype(jnp.float32))
-        sg = jax.nn.sigmoid(u)
+        sg = fastmath.sigmoid(u)
         xc = u * sg
     else:
         xc = x
@@ -174,7 +175,7 @@ def _bwd_kernel(
     d_a = d_a_scan - d_beta * si * alpha / s
     spl = jax.nn.softplus(lam)
     d_r = -d_a * alpha * spl * sr * (1.0 - sr)
-    d_lam = jnp.sum(-d_a * alpha * sr * jax.nn.sigmoid(lam), axis=(0, 1))
+    d_lam = jnp.sum(-d_a * alpha * sr * fastmath.sigmoid(lam), axis=(0, 1))
 
     dg = jnp.concatenate([d_r, d_i], axis=-1)
     dg2 = dg.reshape(bt * t, 2 * c)

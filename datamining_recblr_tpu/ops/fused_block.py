@@ -36,6 +36,8 @@ from __future__ import annotations
 import functools
 import math
 
+from datamining_recblr_tpu.ops import fastmath
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -62,7 +64,9 @@ _GELU_C = 0.044715
 def _act_pair(name):
     """Returns (f(x), df(x)) elementwise activation + derivative, both
     taking the pre-activation.  GELU is the tanh approximation
-    (jax.nn.gelu default) so fused and XLA paths agree bit-for-bit."""
+    (jax.nn.gelu default); sigmoid-family activations use the
+    fastmath tanh form (~1 ulp from jax.nn.sigmoid, measurably cheaper
+    on the VPU)."""
     if name == "relu":
         return (
             lambda x: jnp.maximum(x, 0.0),
@@ -70,10 +74,10 @@ def _act_pair(name):
         )
     if name in ("silu", "swish"):
         def f(x):
-            return x * jax.nn.sigmoid(x)
+            return x * fastmath.sigmoid(x)
 
         def df(x):
-            s = jax.nn.sigmoid(x)
+            s = fastmath.sigmoid(x)
             return s * (1.0 + x * (1.0 - s))
 
         return f, df
@@ -81,10 +85,10 @@ def _act_pair(name):
         return jnp.tanh, lambda x: 1.0 - jnp.square(jnp.tanh(x))
     if name == "sigmoid":
         def df(x):
-            s = jax.nn.sigmoid(x)
+            s = fastmath.sigmoid(x)
             return s * (1.0 - s)
 
-        return jax.nn.sigmoid, df
+        return fastmath.sigmoid, df
     if name == "gelu":
         def f(x):
             g = _SQRT_2_OVER_PI * (x + _GELU_C * x * x * x)
@@ -196,7 +200,7 @@ def _block_fwd_core(x, padrow, p, *, causal, n_heads, kp_h, kp_a, act,
         vh = (_mm(x2, p["w_v"][:, sl]) + p["b_v"][sl]).reshape(bt, t, dh)
         s = _bmm(qh, kh, ((2,), (2,)), mm_bf16) * scale + amask
         s = s - jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s)
+        e = fastmath.exp(s)
         pr = e / jnp.sum(e, axis=-1, keepdims=True)
         if seeded and kp_a < 1.0:
             m_a = _dropout_mask(pr.shape, kp_a)

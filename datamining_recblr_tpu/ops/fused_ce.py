@@ -27,6 +27,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from datamining_recblr_tpu.ops import fastmath
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -76,7 +78,7 @@ def _ce_fwd_kernel(x_ref, tab_ref, bias_ref, tgt_ref, out_ref, *,
     tgt = tgt_ref[:, 0]
     logits = _logits_block(x, tab, bias, valid_v, True if mm_bf16 else None)
     m = jnp.max(logits, axis=-1, keepdims=True)
-    lse = m[:, 0] + jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1))
+    lse = m[:, 0] + jnp.log(jnp.sum(fastmath.exp(logits - m), axis=-1))
     col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     onehot = col == tgt[:, None]
     tgt_logit = jnp.sum(jnp.where(onehot, logits, 0.0), axis=-1)
@@ -93,7 +95,7 @@ def _ce_bwd_kernel(x_ref, tab_ref, bias_ref, tgt_ref, dnll_ref,
     dnll = dnll_ref[:, 0].astype(jnp.float32)
     logits = _logits_block(x, tab, bias, valid_v, True if mm_bf16 else None)
     m = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits - m)
+    e = fastmath.exp(logits - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
     col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     onehot = (col == tgt[:, None]).astype(jnp.float32)

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from datamining_recblr_tpu.ops import fastmath
 from datamining_recblr_tpu.ops.fused_bdlru import (
     _conv_fwd,
     _gate_math,
@@ -135,7 +136,7 @@ def _layer_fwd_core(x, p, *, use_conv, use_ffn, keep_prob, seeded, mm_bf16=False
         xc = xb
     alpha, beta, sr, si, s = _gate_math(xc, p["wg"], p["bg"], p["lam"], mm_bf16)
     h = _scan_body(beta * xc, alpha)
-    sz = jax.nn.sigmoid(z)
+    sz = fastmath.sigmoid(z)
     gate = z * sz  # silu(z)
     yin = (gate * h).reshape(bt * t, c)
     y = _mm(yin, p["w_out"]).reshape(bt, t, d)
@@ -155,7 +156,7 @@ def _layer_fwd_core(x, p, *, use_conv, use_ffn, keep_prob, seeded, mm_bf16=False
     r1f = r1.reshape(bt * t, d)
     f1 = _mm(r1f, p["w1"]) + p["b1"]
     f1 = f1.reshape(bt, t, -1)
-    sf1 = jax.nn.sigmoid(f1)
+    sf1 = fastmath.sigmoid(f1)
     a1 = f1 * sf1  # silu
     if seeded and keep_prob < 1.0:
         m2 = _dropout_mask(a1.shape, keep_prob)
@@ -222,13 +223,13 @@ def _bwd_kernel(
     xb, z = xz[..., :c], xz[..., c:]
     if use_conv:
         u = _conv_fwd(xb, p["wc"], p["bc"])
-        sg_u = jax.nn.sigmoid(u)
+        sg_u = fastmath.sigmoid(u)
         xc = u * sg_u
     else:
         xc = xb
     alpha, beta, sr, si, s = _gate_math(xc, p["wg"], p["bg"], p["lam"], mm_bf16)
     h = _scan_body(beta * xc, alpha)
-    sz = jax.nn.sigmoid(z)
+    sz = fastmath.sigmoid(z)
     gate = z * sz
     yin = (gate * h).reshape(bt * t, c)
     y = _mm(yin, p["w_out"]).reshape(bt, t, d)
@@ -243,7 +244,7 @@ def _bwd_kernel(
     if use_ffn:
         r1f = r1.reshape(bt * t, d)
         f1 = (_mm(r1f, p["w1"]) + p["b1"]).reshape(bt, t, -1)
-        sf1 = jax.nn.sigmoid(f1)
+        sf1 = fastmath.sigmoid(f1)
         a1 = f1 * sf1
         if keep_prob < 1.0:
             m2 = _dropout_mask(a1.shape, keep_prob)
@@ -304,7 +305,7 @@ def _bwd_kernel(
     d_a = d_a_scan - d_beta * si * alpha / s
     spl = jax.nn.softplus(p["lam"])
     d_r = -d_a * alpha * spl * sr * (1.0 - sr)
-    grads["lam"] = jnp.sum(-d_a * alpha * sr * jax.nn.sigmoid(p["lam"]), axis=(0, 1))
+    grads["lam"] = jnp.sum(-d_a * alpha * sr * fastmath.sigmoid(p["lam"]), axis=(0, 1))
     dg = jnp.concatenate([d_r, d_i], axis=-1).reshape(bt * t, 2 * c)
     xc2 = xc.reshape(bt * t, c)
     dxc = dxc + _mm(dg, p["wg"].T).reshape(bt, t, c)
