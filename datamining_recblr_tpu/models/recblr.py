@@ -230,6 +230,7 @@ class RecBLR(SequentialModel):
             from datamining_recblr_tpu.ops.fused_layer import (
                 fused_dropout_ln,
                 fused_recurrent_layer,
+                fused_recurrent_layer_last,
             )
 
             p_drop = float(self.dropout_prob) if training else 0.0
@@ -280,15 +281,39 @@ class RecBLR(SequentialModel):
                         xs, seed, flat, use_conv, use_ffn, p_drop, mm_bf16
                     )
 
+                @_ft.partial(
+                    jax.shard_map,
+                    mesh=self.mesh,
+                    in_specs=(_P("data"), _P("data"), _P(), _P()),
+                    out_specs=_P("data"),
+                    check_vma=False,
+                )
+                def _layer_last_sharded(xs, lens, seed, flat):
+                    seed = seed + jax.lax.axis_index("data").astype(jnp.int32) * 1000003
+                    return fused_recurrent_layer_last(
+                        xs, lens, seed, flat, use_conv, use_ffn, p_drop, mm_bf16
+                    )
+
                 x = _prologue_sharded(x, seeds[-1], ln_s, ln_b)
+                n_layers = len(params["layers"])
                 for li, layer in enumerate(params["layers"]):
                     flat = self._flat_layer_params(layer, use_ffn)
+                    if li == n_layers - 1:
+                        # top layer: only the last position is consumed
+                        return _layer_last_sharded(x, item_seq_len, seeds[li], flat)
                     x = _layer_sharded(x, seeds[li], flat)
                 return L.gather_last(x, item_seq_len)
 
             x = fused_dropout_ln(x, seeds[-1], ln_s, ln_b, p_drop)
+            n_layers = len(params["layers"])
             for li, layer in enumerate(params["layers"]):
                 flat = self._flat_layer_params(layer, use_ffn)
+                if li == n_layers - 1:
+                    # top layer: only the last position is consumed
+                    return fused_recurrent_layer_last(
+                        x, item_seq_len, seeds[li], flat,
+                        use_conv, use_ffn, p_drop, mm_bf16,
+                    )
                 x = fused_recurrent_layer(
                     x, seeds[li], flat, use_conv, use_ffn, p_drop, mm_bf16
                 )

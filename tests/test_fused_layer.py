@@ -233,3 +233,95 @@ def test_model_uses_fused_layer_and_matches():
     gr = jax.grad(lambda p: m_r.calculate_loss(p, batch, jax.random.PRNGKey(1)))(params)
     for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-5)
+
+
+@pytest.mark.parametrize("use_conv", [True, False])
+@pytest.mark.parametrize("use_ffn", [True, False])
+def test_fused_layer_last_forward(use_conv, use_ffn):
+    from datamining_recblr_tpu.ops.fused_layer import fused_recurrent_layer_last
+
+    rng = np.random.default_rng(31 + int(use_conv) * 2 + int(use_ffn))
+    p = _params(rng, use_ffn=use_ffn)
+    if not use_ffn:
+        p = {k: v for k, v in p.items() if not k.startswith(("w1", "b1", "w2", "b2", "ln2"))}
+    x = jnp.asarray(rng.standard_normal((5, 12, D)).astype(np.float32))
+    lens = jnp.asarray(rng.integers(1, 13, size=5), jnp.int32)
+    seed = jnp.zeros((1,), jnp.int32)
+    got = fused_recurrent_layer_last(x, lens, seed, p, use_conv, use_ffn, 0.0)
+    full = _unfused(x, p, use_conv, use_ffn)
+    want = jnp.take_along_axis(full, (lens - 1)[:, None, None], axis=1)[:, 0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
+
+
+def test_fused_layer_last_vjp():
+    from datamining_recblr_tpu.ops.fused_layer import fused_recurrent_layer_last
+
+    rng = np.random.default_rng(37)
+    p = _params(rng)
+    x = jnp.asarray(rng.standard_normal((6, 10, D)).astype(np.float32))
+    lens = jnp.asarray(rng.integers(1, 11, size=6), jnp.int32)
+    seed = jnp.zeros((1,), jnp.int32)
+    cot = jnp.asarray(rng.standard_normal((6, D)).astype(np.float32))
+
+    def full_then_gather(x_, p_):
+        full = _unfused(x_, p_)
+        return jnp.take_along_axis(full, (lens - 1)[:, None, None], axis=1)[:, 0]
+
+    _, vjp_f = jax.vjp(
+        lambda x_, p_: fused_recurrent_layer_last(x_, lens, seed, p_, True, True, 0.0),
+        x, p,
+    )
+    dx_f, dp_f = vjp_f(cot)
+    _, vjp_u = jax.vjp(full_then_gather, x, p)
+    dx_u, dp_u = vjp_u(cot)
+
+    np.testing.assert_allclose(np.asarray(dx_f), np.asarray(dx_u), rtol=5e-4, atol=5e-5)
+    for k in dp_u:
+        np.testing.assert_allclose(
+            np.asarray(dp_f[k]), np.asarray(dp_u[k]), rtol=5e-4, atol=5e-5,
+            err_msg=k,
+        )
+
+
+def test_fused_layer_last_dropout_mask_replay():
+    """The last-variant's dropout path must agree with the full kernel +
+    gather under the same seed (both replay in-kernel PRNG masks), and
+    with finite differences at the last position, where gradients are
+    large enough for f32 FD resolution."""
+    from datamining_recblr_tpu.ops.fused_layer import (
+        fused_recurrent_layer,
+        fused_recurrent_layer_last,
+    )
+
+    rng = np.random.default_rng(41)
+    p = _params(rng, use_ffn=False)
+    p = {k: v for k, v in p.items() if not k.startswith(("w1", "b1", "w2", "b2", "ln2"))}
+    x = jnp.asarray(rng.standard_normal((2, 6, D)).astype(np.float32))
+    lens = jnp.asarray([4, 6], jnp.int32)
+    seed = jnp.asarray([42], jnp.int32)
+
+    def loss(x_):
+        return jnp.sum(
+            jnp.sin(fused_recurrent_layer_last(x_, lens, seed, p, True, False, 0.4))
+        )
+
+    def loss_full(x_):
+        full = fused_recurrent_layer(x_, seed, p, True, False, 0.4)
+        g = jnp.take_along_axis(full, (lens - 1)[:, None, None], axis=1)[:, 0]
+        return jnp.sum(jnp.sin(g))
+
+    g = jax.grad(loss)(x)
+    # NOTE: on CPU the interpreter stubs PRNG bits to zeros (all-keep
+    # masks), so the two kernels see identical masks; on hardware their
+    # streams differ (different shapes drawn), so only compare off-TPU.
+    if jax.default_backend() != "tpu":
+        g_full = jax.grad(loss_full)(x)
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(g_full), rtol=1e-5, atol=1e-6
+        )
+    eps = 1e-3
+    for idx in [(0, 3, 3), (1, 5, 10)]:  # last valid positions
+        plus = np.asarray(x).copy(); plus[idx] += eps
+        minus = np.asarray(x).copy(); minus[idx] -= eps
+        num = (loss(jnp.asarray(plus)) - loss(jnp.asarray(minus))) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(g)[idx], float(num), rtol=5e-2, atol=2e-3)
