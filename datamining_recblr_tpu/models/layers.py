@@ -176,6 +176,7 @@ def transformer_encoder_apply(
     rng=None,
     lens=None,
     causal=None,
+    last_only=False,
 ):
     """Apply the post-LN transformer stack; returns final hidden states.
 
@@ -186,7 +187,13 @@ def transformer_encoder_apply(
     with in-kernel PRNG dropout) — the [B,H,T,dh] head-split tensors
     and [B,H,T,T] probabilities never touch HBM.  Unsupported shapes
     fall back to the per-op composition below (which still uses the
-    fused attention kernel for the softmax block when it can)."""
+    fused attention kernel for the softmax block when it can).
+
+    With ``last_only=True`` (causal fused path only) the FINAL layer
+    runs the last-query kernel and the return value is the gathered
+    [B, D] last-position output instead of [B, T, D] — the caller must
+    then skip its own gather.  On the fallback path full states come
+    back and the caller gathers as usual."""
     if lens is not None and causal is not None and _use_fused_attention():
         from datamining_recblr_tpu.ops import fused_block as FB
 
@@ -197,7 +204,7 @@ def transformer_encoder_apply(
             p_hidden = float(hidden_dropout) if training else 0.0
             p_attn = float(attn_dropout) if training else 0.0
             mm_bf16 = x.dtype == jnp.bfloat16
-            for p in layers:
+            for li, p in enumerate(layers):
                 if training:
                     rng, k_seed = jax.random.split(rng)
                     seed = jax.random.randint(
@@ -216,6 +223,12 @@ def transformer_encoder_apply(
                     "ln2_s": p["ffn_ln"]["scale"], "ln2_b": p["ffn_ln"]["bias"],
                 }
                 fp = {k: v.astype(jnp.float32) for k, v in fp.items()}
+                if last_only and causal and li == len(layers) - 1:
+                    # top layer: only the last position is consumed
+                    return FB.fused_transformer_layer_last(
+                        x, lens, seed, fp, n_heads,
+                        p_hidden, p_attn, hidden_act, mm_bf16,
+                    )
                 x = FB.fused_transformer_layer(
                     x, lens, seed, fp, bool(causal), n_heads,
                     p_hidden, p_attn, hidden_act, mm_bf16,

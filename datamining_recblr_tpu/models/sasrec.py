@@ -65,5 +65,11 @@ class SASRec(SequentialModel):
             rng=rng,
             lens=lens,
             causal=True,
+            # the head consumes only the last position (sasrec.py:109-114);
+            # on the fused path the top layer runs the last-query kernel
+            # and returns [B, D] directly
+            last_only=True,
         )
+        if x.ndim == 2:
+            return x
         return L.gather_last(x, item_seq_len)

@@ -479,3 +479,331 @@ def _vjp_bwd(causal, n_heads, hidden_dropout_p, attn_dropout_p, act,
 
 
 fused_transformer_layer.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Last-position variant for the TOP causal layer: SASRec's head consumes
+# only gather_last(out) (reference sasrec.py:109-114), so the top
+# layer's query is a single row — scores are [1, T] instead of [T, T]
+# and the FFN/LNs run on [B, 1, D].  For the last row of a causal mask,
+# "col <= len-1" coincides with the key-padding mask "col < len", so the
+# padding rows alone are the correct additive mask.  K/V projections
+# still run over full T (the last query attends to the whole prefix);
+# the backward scatters the residual + query cotangent back to the last
+# position and keeps full-T K/V gradients.
+# ---------------------------------------------------------------------------
+
+
+def _block_last_rows(t: int) -> int:
+    # without the [rows, T, T] score tensor the working set scales like
+    # rows*T (K/V per head + their grads); budget rows*T <= 32*200
+    return max(1, min(32, (32 * 200) // t))
+
+
+def _last_onehot(lens, bt, t):
+    """f32 [bt, t, 1] one-hot of each row's last valid position."""
+    pos = jax.lax.broadcasted_iota(jnp.int32, (bt, t), 1)
+    return (pos == lens - 1).astype(jnp.float32)[:, :, None]
+
+
+def _block_last_fwd_core(x, padrow, m, p, *, n_heads, kp_h, kp_a, act,
+                         mm_bf16, seeded):
+    """Forward returning only the last-position output [bt, 1, D].
+    PRNG draw order: per-head [1,T] attn masks, then the [1,D]
+    post-attention mask, then the [1,D] post-FFN mask."""
+    _mm = _make_mm(mm_bf16)
+    act_f, _ = _act_pair(act)
+    bt, t, d = x.shape
+    dh = d // n_heads
+    scale = 1.0 / math.sqrt(dh)
+    x2 = x.reshape(bt * t, d)
+    xl = jnp.sum(m * x, axis=1, keepdims=True)  # [bt,1,D]
+    xl2 = xl.reshape(bt, d)
+
+    ao2 = None
+    heads = []
+    for h in range(n_heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        ql = (_mm(xl2, p["w_q"][:, sl]) + p["b_q"][sl]).reshape(bt, 1, dh)
+        kh = (_mm(x2, p["w_k"][:, sl]) + p["b_k"][sl]).reshape(bt, t, dh)
+        vh = (_mm(x2, p["w_v"][:, sl]) + p["b_v"][sl]).reshape(bt, t, dh)
+        s = _bmm(ql, kh, ((2,), (2,)), mm_bf16) * scale + padrow
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = fastmath.exp(s)
+        pr = e / jnp.sum(e, axis=-1, keepdims=True)  # [bt,1,T]
+        if seeded and kp_a < 1.0:
+            m_a = _dropout_mask(pr.shape, kp_a)
+            pd = pr * m_a
+        else:
+            m_a = None
+            pd = pr
+        ctx_h = _bmm(pd, vh, ((2,), (1,)), mm_bf16)  # [bt,1,dh]
+        contrib = _mm(ctx_h.reshape(bt, dh), p["w_o"][sl, :])
+        ao2 = contrib if ao2 is None else ao2 + contrib
+        heads.append(dict(ql=ql, kh=kh, vh=vh, pr=pr, pd=pd, m_a=m_a, ctx_h=ctx_h))
+
+    ao = (ao2 + p["b_o"]).reshape(bt, 1, d)
+    if seeded and kp_h < 1.0:
+        m1 = _dropout_mask(ao.shape, kp_h)
+        ao = ao * m1
+    else:
+        m1 = None
+    r1, vhat1, inv1 = _ln_fwd(ao + xl, p["ln1_s"], p["ln1_b"])
+
+    pre1 = (_mm(r1.reshape(bt, d), p["w1"]) + p["b1"]).reshape(bt, 1, -1)
+    a1 = act_f(pre1)
+    f2 = (_mm(a1.reshape(bt, -1), p["w2"]) + p["b2"]).reshape(bt, 1, d)
+    if seeded and kp_h < 1.0:
+        m2 = _dropout_mask(f2.shape, kp_h)
+        f2 = f2 * m2
+    else:
+        m2 = None
+    out, vhat2, inv2 = _ln_fwd(f2 + r1, p["ln2_s"], p["ln2_b"])
+    return dict(
+        heads=heads, xl=xl, m1=m1, m2=m2, r1=r1, vhat1=vhat1, inv1=inv1,
+        pre1=pre1, a1=a1, vhat2=vhat2, inv2=inv2, out=out,
+    )
+
+
+def _last_fwd_kernel(seed_ref, x_ref, len_ref, lens_ref, *refs, n_heads,
+                     kp_h, kp_a, act, mm_bf16):
+    out_ref = refs[-1]
+    param_refs = refs[:-1]
+    if kp_h < 1.0 or kp_a < 1.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    x = x_ref[:].astype(jnp.float32)
+    padrow = len_ref[:].astype(jnp.float32)
+    bt, t, d = x.shape
+    m = _last_onehot(lens_ref[:], bt, t)
+    p = _params_from_refs(param_refs)
+    res = _block_last_fwd_core(
+        x, padrow, m, p, n_heads=n_heads, kp_h=kp_h, kp_a=kp_a, act=act,
+        mm_bf16=mm_bf16, seeded=True,
+    )
+    out_ref[:] = res["out"][:, 0, :].astype(out_ref.dtype)
+
+
+def _last_bwd_kernel(seed_ref, x_ref, len_ref, lens_ref, dout_ref, *refs,
+                     n_heads, kp_h, kp_a, act, mm_bf16):
+    n_params = len(_PARAM_NAMES)
+    param_refs = refs[:n_params]
+    dx_ref = refs[n_params]
+    grad_refs = refs[n_params + 1:]
+    first = pl.program_id(0) == 0
+    _mm = _make_mm(mm_bf16)
+    _, act_df = _act_pair(act)
+
+    if kp_h < 1.0 or kp_a < 1.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    x = x_ref[:].astype(jnp.float32)
+    padrow = len_ref[:].astype(jnp.float32)
+    dout = dout_ref[:].astype(jnp.float32)[:, None, :]  # [bt,1,D]
+    p = _params_from_refs(param_refs)
+    bt, t, d = x.shape
+    dh = d // n_heads
+    scale = 1.0 / math.sqrt(dh)
+    x2 = x.reshape(bt * t, d)
+    m = _last_onehot(lens_ref[:], bt, t)
+
+    res = _block_last_fwd_core(
+        x, padrow, m, p, n_heads=n_heads, kp_h=kp_h, kp_a=kp_a, act=act,
+        mm_bf16=mm_bf16, seeded=True,
+    )
+    xl2 = res["xl"].reshape(bt, d)
+
+    grads = {}
+    dv2, grads["ln2_s"], grads["ln2_b"] = _ln_bwd(
+        dout, res["vhat2"], res["inv2"], p["ln2_s"]
+    )
+    df2 = dv2 * res["m2"] if res["m2"] is not None else dv2
+    dr1 = dv2
+    df2_2 = df2.reshape(bt, d)
+    a1_2 = res["a1"].reshape(bt, -1)
+    grads["w2"] = _mmT(a1_2, df2_2)
+    grads["b2"] = jnp.sum(df2_2, axis=0)
+    da1 = _mm(df2_2, p["w2"].T).reshape(bt, 1, -1)
+    dpre1 = da1 * act_df(res["pre1"])
+    dpre1_2 = dpre1.reshape(bt, -1)
+    grads["w1"] = _mmT(res["r1"].reshape(bt, d), dpre1_2)
+    grads["b1"] = jnp.sum(dpre1_2, axis=0)
+    dr1 = dr1 + _mm(dpre1_2, p["w1"].T).reshape(bt, 1, d)
+
+    dv1, grads["ln1_s"], grads["ln1_b"] = _ln_bwd(
+        dr1, res["vhat1"], res["inv1"], p["ln1_s"]
+    )
+    dxl = dv1  # residual into x at the last position
+    dao = dv1 * res["m1"] if res["m1"] is not None else dv1
+    dao2 = dao.reshape(bt, d)
+    grads["b_o"] = jnp.sum(dao2, axis=0)
+
+    dx_full = jnp.zeros((bt, t, d), jnp.float32)
+    wo_rows, wq_cols, wk_cols, wv_cols = [], [], [], []
+    bq_parts, bk_parts, bv_parts = [], [], []
+    for h in range(n_heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        hd = res["heads"][h]
+        ctx2 = hd["ctx_h"].reshape(bt, dh)
+        wo_rows.append(_mmT(ctx2, dao2))
+        dctx = _mm(dao2, p["w_o"][sl, :].T).reshape(bt, 1, dh)
+        pd, pr = hd["pd"], hd["pr"]
+        dvh = _bmm(pd, dctx, ((1,), (1,)), mm_bf16)       # [bt, T, dh]
+        dpd = _bmm(dctx, hd["vh"], ((2,), (2,)), mm_bf16)  # [bt, 1, T]
+        dp = dpd * hd["m_a"] if hd["m_a"] is not None else dpd
+        ds = pr * (dp - jnp.sum(dp * pr, axis=-1, keepdims=True))
+        dql = _bmm(ds, hd["kh"], ((2,), (1,)), mm_bf16) * scale  # [bt,1,dh]
+        dkh = _bmm(ds, hd["ql"], ((1,), (1,)), mm_bf16) * scale  # [bt,T,dh]
+        dq2 = dql.reshape(bt, dh)
+        dk2 = dkh.reshape(bt * t, dh)
+        dv2h = dvh.reshape(bt * t, dh)
+        wq_cols.append(_mmT(xl2, dq2))
+        wk_cols.append(_mmT(x2, dk2))
+        wv_cols.append(_mmT(x2, dv2h))
+        bq_parts.append(jnp.sum(dq2, axis=0))
+        bk_parts.append(jnp.sum(dk2, axis=0))
+        bv_parts.append(jnp.sum(dv2h, axis=0))
+        dxl = dxl + _mm(dq2, p["w_q"][:, sl].T).reshape(bt, 1, d)
+        dx_full = dx_full + (
+            _mm(dk2, p["w_k"][:, sl].T) + _mm(dv2h, p["w_v"][:, sl].T)
+        ).reshape(bt, t, d)
+
+    grads["w_o"] = jnp.concatenate(wo_rows, axis=0)
+    grads["w_q"] = jnp.concatenate(wq_cols, axis=1)
+    grads["w_k"] = jnp.concatenate(wk_cols, axis=1)
+    grads["w_v"] = jnp.concatenate(wv_cols, axis=1)
+    grads["b_q"] = jnp.concatenate(bq_parts, axis=0)
+    grads["b_k"] = jnp.concatenate(bk_parts, axis=0)
+    grads["b_v"] = jnp.concatenate(bv_parts, axis=0)
+
+    dx_ref[:] = (dx_full + m * dxl).astype(dx_ref.dtype)
+
+    @pl.when(first)
+    def _():
+        for ref in grad_refs:
+            ref[:] = jnp.zeros_like(ref)
+
+    for name, ref in zip(_PARAM_NAMES, grad_refs):
+        ref[:] += grads[name]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_heads", "hidden_dropout_p", "attn_dropout_p", "act", "mm_bf16",
+        "block_rows",
+    ),
+)
+def _block_last_fwd(x, lens, seed, params, n_heads, hidden_dropout_p,
+                    attn_dropout_p, act, mm_bf16=False, block_rows=0):
+    b, t, d = x.shape
+    bt = block_rows or _block_last_rows(t)
+    xp = _pad_to(x, 0, bt, 0.0)
+    lp = _pad_to(_pad_mask_rows(lens, t), 0, bt, 0.0)
+    li = _pad_to(lens.astype(jnp.int32).reshape(-1, 1), 0, bt, 0)
+    bp = xp.shape[0]
+    kp_h, kp_a = 1.0 - hidden_dropout_p, 1.0 - attn_dropout_p
+    block = pl.BlockSpec((bt, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    len_spec = pl.BlockSpec((bt, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    lens_spec = pl.BlockSpec((bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    plist = [params[n] for n in _PARAM_NAMES]
+    out = pl.pallas_call(
+        functools.partial(
+            _last_fwd_kernel, n_heads=n_heads, kp_h=kp_h, kp_a=kp_a,
+            act=act, mm_bf16=mm_bf16,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bp, d), x.dtype),
+        grid=(bp // bt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            block, len_spec, lens_spec,
+            *[_full_spec(p.shape) for p in plist],
+        ],
+        out_specs=pl.BlockSpec((bt, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=_interpret(min(kp_h, kp_a)),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(seed, xp, lp, li, *plist)
+    return out[:b]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_heads", "hidden_dropout_p", "attn_dropout_p", "act", "mm_bf16",
+        "block_rows",
+    ),
+)
+def _block_last_bwd(x, lens, dout, seed, params, n_heads, hidden_dropout_p,
+                    attn_dropout_p, act, mm_bf16=False, block_rows=0):
+    b, t, d = x.shape
+    bt = block_rows or _block_last_rows(t)
+    xp = _pad_to(x, 0, bt, 0.0)
+    dp_ = _pad_to(dout, 0, bt, 0.0)
+    lp = _pad_to(_pad_mask_rows(lens, t), 0, bt, 0.0)
+    li = _pad_to(lens.astype(jnp.int32).reshape(-1, 1), 0, bt, 0)
+    bp = xp.shape[0]
+    kp_h, kp_a = 1.0 - hidden_dropout_p, 1.0 - attn_dropout_p
+    block = pl.BlockSpec((bt, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    len_spec = pl.BlockSpec((bt, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    lens_spec = pl.BlockSpec((bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    dblock = pl.BlockSpec((bt, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    plist = [params[n] for n in _PARAM_NAMES]
+    outs = pl.pallas_call(
+        functools.partial(
+            _last_bwd_kernel, n_heads=n_heads, kp_h=kp_h, kp_a=kp_a,
+            act=act, mm_bf16=mm_bf16,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bp, t, d), x.dtype),
+            *[jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in plist],
+        ),
+        grid=(bp // bt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            block, len_spec, lens_spec, dblock,
+            *[_full_spec(p.shape) for p in plist],
+        ],
+        out_specs=(block, *[_full_spec(p.shape) for p in plist]),
+        interpret=_interpret(min(kp_h, kp_a)),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(seed, xp, lp, li, dp_, *plist)
+    dx = outs[0][:b]
+    dparams = {n: g for n, g in zip(_PARAM_NAMES, outs[1:])}
+    return dx, dparams
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def fused_transformer_layer_last(x, lens, seed, params, n_heads,
+                                 hidden_dropout_p, attn_dropout_p, act,
+                                 mm_bf16=False):
+    """Top CAUSAL transformer layer fused kernel returning only each
+    row's last-position output [B, D] (the model head consumes
+    gather_last alone, reference sasrec.py:109-114).  The single
+    last-row query makes scores [1, T]; for that row the causal mask
+    equals the key-padding mask, so no causal iota is needed.  K/V and
+    their grads still span full T.  Only valid as the FINAL layer of a
+    causal stack."""
+    return _block_last_fwd(
+        x, lens, seed, params, n_heads, hidden_dropout_p, attn_dropout_p,
+        act, mm_bf16,
+    )
+
+
+def _last_vjp_fwd(x, lens, seed, params, n_heads, hidden_dropout_p,
+                  attn_dropout_p, act, mm_bf16):
+    out = _block_last_fwd(
+        x, lens, seed, params, n_heads, hidden_dropout_p, attn_dropout_p,
+        act, mm_bf16,
+    )
+    return out, (x, lens, seed, params)
+
+
+def _last_vjp_bwd(n_heads, hidden_dropout_p, attn_dropout_p, act, mm_bf16,
+                  res, dout):
+    x, lens, seed, params = res
+    dx, dparams = _block_last_bwd(
+        x, lens, dout, seed, params, n_heads, hidden_dropout_p,
+        attn_dropout_p, act, mm_bf16,
+    )
+    return dx, None, None, dparams
+
+
+fused_transformer_layer_last.defvjp(_last_vjp_fwd, _last_vjp_bwd)

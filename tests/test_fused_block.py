@@ -132,3 +132,70 @@ def test_fused_block_four_heads():
     seed = jnp.zeros((1,), jnp.int32)
     out = FB.fused_transformer_layer(x, lens, seed, fp, True, 4, 0.0, 0.0, "gelu")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("act", ["gelu", "silu"])
+def test_fused_block_last_forward_matches_full(act):
+    layers, x, lens, item_seq = _setup(seed=5)
+    fp = _nested_to_flat(layers[0])
+    seed = jnp.zeros((1,), jnp.int32)
+    full = FB.fused_transformer_layer(x, lens, seed, fp, True, 2, 0.0, 0.0, act)
+    want = jnp.take_along_axis(full, (lens - 1)[:, None, None], axis=1)[:, 0]
+    got = FB.fused_transformer_layer_last(x, lens, seed, fp, 2, 0.0, 0.0, act)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_fused_block_last_grads_match_full():
+    layers, x, lens, item_seq = _setup(seed=6)
+    seed = jnp.zeros((1,), jnp.int32)
+
+    def loss_full(x, nested):
+        out = FB.fused_transformer_layer(
+            x, lens, seed, _nested_to_flat(nested), True, 2, 0.0, 0.0, "gelu"
+        )
+        g = jnp.take_along_axis(out, (lens - 1)[:, None, None], axis=1)[:, 0]
+        return jnp.sum(g * g)
+
+    def loss_last(x, nested):
+        g = FB.fused_transformer_layer_last(
+            x, lens, seed, _nested_to_flat(nested), 2, 0.0, 0.0, "gelu"
+        )
+        return jnp.sum(g * g)
+
+    gx_ref, gp_ref = jax.grad(loss_full, argnums=(0, 1))(x, layers[0])
+    gx, gp = jax.grad(loss_last, argnums=(0, 1))(x, layers[0])
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=3e-4)
+    flat_ref = jax.tree_util.tree_leaves_with_path(gp_ref)
+    flat = dict(jax.tree_util.tree_leaves_with_path(gp))
+    for path, ref in flat_ref:
+        np.testing.assert_allclose(
+            np.asarray(flat[path]), np.asarray(ref), atol=3e-4,
+            err_msg=str(path),
+        )
+
+
+def test_sasrec_last_only_matches_fallback(monkeypatch):
+    """SASRec fused path (with the last-query top layer) vs the XLA
+    fallback, model-level."""
+    from datamining_recblr_tpu.config import Config
+    from datamining_recblr_tpu.models import get_model
+
+    cfg = Config(
+        model="SASRec",
+        config_dict={
+            "hidden_size": 16, "n_layers": 2, "n_heads": 2,
+            "inner_size": 32, "MAX_ITEM_LIST_LENGTH": 12,
+        },
+    )
+    m = get_model("SASRec")(cfg, n_items=50, max_seq_len=12)
+    params = m.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(4)
+    lens = rng.integers(1, 13, size=5).astype(np.int32)
+    seq = rng.integers(1, 50, size=(5, 12)).astype(np.int32)
+    seq = np.where(np.arange(12)[None] < lens[:, None], seq, 0)
+
+    monkeypatch.setattr(L, "_use_fused_attention", lambda: True)
+    out_f = m.forward(params, jnp.asarray(seq), jnp.asarray(lens))
+    monkeypatch.setattr(L, "_use_fused_attention", lambda: False)
+    out_r = m.forward(params, jnp.asarray(seq), jnp.asarray(lens))
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r), atol=5e-5)
