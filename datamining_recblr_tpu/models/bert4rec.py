@@ -60,9 +60,16 @@ class BERT4Rec(SequentialModel):
         }
 
     # ------------------------------------------------------------------
-    def encode(self, params, item_seq, *, deterministic=True, rng=None):
-        """[B, T] -> [B, T, H] through embedding, bidirectional encoder,
-        and the GELU output head."""
+    def encode(self, params, item_seq, *, deterministic=True, rng=None,
+               last_only=False, select=None):
+        """[B, T] -> hidden states through embedding, bidirectional
+        encoder, and the GELU output head.  Returns ``(out, selected)``:
+        with ``last_only``/``select`` on the fused path the top encoder
+        layer computes only the consumed positions ([B, H] / [B, S, H],
+        ``selected=True``); otherwise full [B, T, H] states come back
+        and the caller gathers.  The output head is positionwise, so
+        applying it after selection is math-identical to the
+        reference's head-over-all-positions (bert4rec.py:83-86)."""
         t = item_seq.shape[1]
         x = self.embed(params, item_seq).astype(self.compute_dtype)
         x = x + params["position_embedding"][:t].astype(self.compute_dtype)
@@ -84,9 +91,12 @@ class BERT4Rec(SequentialModel):
             rng=rng,
             lens=lens,
             causal=False,
+            last_only=last_only,
+            select=select,
         )
+        selected = x.ndim == 2 or (select is not None and x.shape[1] == select.shape[1] and select.shape[1] != t)
         x = jax.nn.gelu(L.dense(params["output_ffn"], x))
-        return L.layer_norm(params["output_ln"], x)
+        return L.layer_norm(params["output_ln"], x), selected
 
     def reconstruct_test_seq(self, item_seq, item_seq_len):
         """Append the mask token at the end position and shift left one
@@ -98,7 +108,11 @@ class BERT4Rec(SequentialModel):
 
     def forward(self, params, item_seq, item_seq_len, *, deterministic=True, rng=None):
         seq = self.reconstruct_test_seq(item_seq, item_seq_len)
-        out = self.encode(params, seq, deterministic=deterministic, rng=rng)
+        out, selected = self.encode(
+            params, seq, deterministic=deterministic, rng=rng, last_only=True
+        )
+        if selected:
+            return out
         return L.gather_last(out, item_seq_len)
 
     # ------------------------------------------------------------------
@@ -137,13 +151,22 @@ class BERT4Rec(SequentialModel):
         # cap the number of masked positions at the budget
         cloze = jnp.logical_and(want, jnp.cumsum(want, axis=1) <= mask_len)
         masked_seq = jnp.where(cloze, self.mask_token, item_seq)
-        out = self.encode(params, masked_seq, deterministic=False, rng=k_fwd)
 
         # stable argsort brings masked positions (in order) to the front
         order = jnp.argsort(~cloze, axis=1, stable=True)[:, :mask_len]  # [B, L_m]
-        sel_out = jnp.take_along_axis(out, order[..., None], axis=1)    # [B, L_m, H]
         sel_tgt = jnp.take_along_axis(item_seq, order, axis=1)          # [B, L_m]
         sel_valid = jnp.take_along_axis(cloze, order, axis=1)           # [B, L_m]
+
+        # on the fused path the top layer computes only the selected
+        # positions (queries [L_m, T] instead of [T, T])
+        out, selected = self.encode(
+            params, masked_seq, deterministic=False, rng=k_fwd,
+            select=order if mask_len < t else None,
+        )
+        if selected:
+            sel_out = out                                               # [B, L_m, H]
+        else:
+            sel_out = jnp.take_along_axis(out, order[..., None], axis=1)
 
         w = sel_valid.astype(jnp.float32)
         if row_w is not None:

@@ -177,6 +177,7 @@ def transformer_encoder_apply(
     lens=None,
     causal=None,
     last_only=False,
+    select=None,
 ):
     """Apply the post-LN transformer stack; returns final hidden states.
 
@@ -189,11 +190,14 @@ def transformer_encoder_apply(
     fall back to the per-op composition below (which still uses the
     fused attention kernel for the softmax block when it can).
 
-    With ``last_only=True`` (causal fused path only) the FINAL layer
-    runs the last-query kernel and the return value is the gathered
-    [B, D] last-position output instead of [B, T, D] — the caller must
-    then skip its own gather.  On the fallback path full states come
-    back and the caller gathers as usual."""
+    With ``last_only=True`` (fused path only) the FINAL layer runs the
+    last-query kernel and the return value is the gathered [B, D]
+    last-position output instead of [B, T, D] — the caller must then
+    skip its own gather.  With ``select`` (int [B, S] position indices;
+    fused path only) the FINAL layer runs the selected-positions kernel
+    and returns [B, S, D] — the caller must skip its own
+    take_along_axis.  On the fallback path full states come back and
+    the caller gathers as usual."""
     if lens is not None and causal is not None and _use_fused_attention():
         from datamining_recblr_tpu.ops import fused_block as FB
 
@@ -223,10 +227,19 @@ def transformer_encoder_apply(
                     "ln2_s": p["ffn_ln"]["scale"], "ln2_b": p["ffn_ln"]["bias"],
                 }
                 fp = {k: v.astype(jnp.float32) for k, v in fp.items()}
-                if last_only and causal and li == len(layers) - 1:
-                    # top layer: only the last position is consumed
+                if last_only and li == len(layers) - 1:
+                    # top layer: only the last position is consumed.
+                    # Valid causal (padding mask == causal mask on the
+                    # last row) and bidirectional (padding-only mask).
                     return FB.fused_transformer_layer_last(
                         x, lens, seed, fp, n_heads,
+                        p_hidden, p_attn, hidden_act, mm_bf16,
+                    )
+                if select is not None and li == len(layers) - 1:
+                    # top layer: only S selected positions are consumed
+                    # (bidirectional cloze loss)
+                    return FB.fused_transformer_layer_sel(
+                        x, lens, select, seed, fp, n_heads,
                         p_hidden, p_attn, hidden_act, mm_bf16,
                     )
                 x = FB.fused_transformer_layer(

@@ -807,3 +807,343 @@ def _last_vjp_bwd(n_heads, hidden_dropout_p, attn_dropout_p, act, mm_bf16,
 
 
 fused_transformer_layer_last.defvjp(_last_vjp_fwd, _last_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Selected-positions variant: BERT4Rec's cloze loss consumes the top
+# layer's output only at the <= mask_len masked positions (reference
+# bert4rec.py:141-213), so the top BIDIRECTIONAL layer needs queries at
+# just those S positions — scores are [S, T] instead of [T, T] and the
+# FFN/LNs run on [B, S, D].  Selection is a one-hot [S, T] matrix built
+# in-kernel from the index block, applied with MXU matmuls (gather
+# in, scatter-add out) — Mosaic has no in-kernel dynamic gather.
+# Bidirectional masks are key-padding only, which is query-row
+# independent, so any query subset sees the same additive row.
+# ---------------------------------------------------------------------------
+
+
+def _sel_onehot(idx, bt, s, t):
+    """f32 [bt, s, t] one-hot rows selecting position idx[b, s]."""
+    pos = jax.lax.broadcasted_iota(jnp.int32, (bt, s, t), 2)
+    return (pos == idx[:, :, None]).astype(jnp.float32)
+
+
+def _block_sel_fwd_core(x, padrow, sel, p, *, n_heads, kp_h, kp_a, act,
+                        mm_bf16, seeded):
+    """Forward on the S selected positions -> [bt, S, D] out.  PRNG draw
+    order: per-head [S,T] attn masks, then the [S,D] post-attention
+    mask, then the [S,D] post-FFN mask."""
+    _mm = _make_mm(mm_bf16)
+    act_f, _ = _act_pair(act)
+    bt, t, d = x.shape
+    s_n = sel.shape[1]
+    dh = d // n_heads
+    scale = 1.0 / math.sqrt(dh)
+    x2 = x.reshape(bt * t, d)
+    xq = _bmm(sel, x, ((2,), (1,)), mm_bf16)  # [bt,S,D] selected inputs
+    xq2 = xq.reshape(bt * s_n, d)
+
+    ao2 = None
+    heads = []
+    for h in range(n_heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        qh = (_mm(xq2, p["w_q"][:, sl]) + p["b_q"][sl]).reshape(bt, s_n, dh)
+        kh = (_mm(x2, p["w_k"][:, sl]) + p["b_k"][sl]).reshape(bt, t, dh)
+        vh = (_mm(x2, p["w_v"][:, sl]) + p["b_v"][sl]).reshape(bt, t, dh)
+        sc = _bmm(qh, kh, ((2,), (2,)), mm_bf16) * scale + padrow
+        sc = sc - jnp.max(sc, axis=-1, keepdims=True)
+        e = fastmath.exp(sc)
+        pr = e / jnp.sum(e, axis=-1, keepdims=True)  # [bt,S,T]
+        if seeded and kp_a < 1.0:
+            m_a = _dropout_mask(pr.shape, kp_a)
+            pd = pr * m_a
+        else:
+            m_a = None
+            pd = pr
+        ctx_h = _bmm(pd, vh, ((2,), (1,)), mm_bf16)  # [bt,S,dh]
+        contrib = _mm(ctx_h.reshape(bt * s_n, dh), p["w_o"][sl, :])
+        ao2 = contrib if ao2 is None else ao2 + contrib
+        heads.append(dict(qh=qh, kh=kh, vh=vh, pr=pr, pd=pd, m_a=m_a, ctx_h=ctx_h))
+
+    ao = (ao2 + p["b_o"]).reshape(bt, s_n, d)
+    if seeded and kp_h < 1.0:
+        m1 = _dropout_mask(ao.shape, kp_h)
+        ao = ao * m1
+    else:
+        m1 = None
+    r1, vhat1, inv1 = _ln_fwd(ao + xq, p["ln1_s"], p["ln1_b"])
+
+    pre1 = (_mm(r1.reshape(bt * s_n, d), p["w1"]) + p["b1"]).reshape(bt, s_n, -1)
+    a1 = act_f(pre1)
+    f2 = (_mm(a1.reshape(bt * s_n, -1), p["w2"]) + p["b2"]).reshape(bt, s_n, d)
+    if seeded and kp_h < 1.0:
+        m2 = _dropout_mask(f2.shape, kp_h)
+        f2 = f2 * m2
+    else:
+        m2 = None
+    out, vhat2, inv2 = _ln_fwd(f2 + r1, p["ln2_s"], p["ln2_b"])
+    return dict(
+        heads=heads, xq=xq, m1=m1, m2=m2, r1=r1, vhat1=vhat1, inv1=inv1,
+        pre1=pre1, a1=a1, vhat2=vhat2, inv2=inv2, out=out,
+    )
+
+
+def _sel_fwd_kernel(seed_ref, x_ref, len_ref, idx_ref, *refs, n_heads,
+                    kp_h, kp_a, act, mm_bf16):
+    out_ref = refs[-1]
+    param_refs = refs[:-1]
+    if kp_h < 1.0 or kp_a < 1.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    x = x_ref[:].astype(jnp.float32)
+    padrow = len_ref[:].astype(jnp.float32)
+    idx = idx_ref[:]
+    bt, t, d = x.shape
+    sel = _sel_onehot(idx, bt, idx.shape[1], t)
+    p = _params_from_refs(param_refs)
+    res = _block_sel_fwd_core(
+        x, padrow, sel, p, n_heads=n_heads, kp_h=kp_h, kp_a=kp_a, act=act,
+        mm_bf16=mm_bf16, seeded=True,
+    )
+    out_ref[:] = res["out"].astype(out_ref.dtype)
+
+
+def _sel_bwd_kernel(seed_ref, x_ref, len_ref, idx_ref, dout_ref, *refs,
+                    n_heads, kp_h, kp_a, act, mm_bf16):
+    n_params = len(_PARAM_NAMES)
+    param_refs = refs[:n_params]
+    dx_ref = refs[n_params]
+    grad_refs = refs[n_params + 1:]
+    first = pl.program_id(0) == 0
+    _mm = _make_mm(mm_bf16)
+    _, act_df = _act_pair(act)
+
+    if kp_h < 1.0 or kp_a < 1.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    x = x_ref[:].astype(jnp.float32)
+    padrow = len_ref[:].astype(jnp.float32)
+    idx = idx_ref[:]
+    dout = dout_ref[:].astype(jnp.float32)  # [bt,S,D]
+    p = _params_from_refs(param_refs)
+    bt, t, d = x.shape
+    s_n = idx.shape[1]
+    dh = d // n_heads
+    scale = 1.0 / math.sqrt(dh)
+    x2 = x.reshape(bt * t, d)
+    sel = _sel_onehot(idx, bt, s_n, t)
+
+    res = _block_sel_fwd_core(
+        x, padrow, sel, p, n_heads=n_heads, kp_h=kp_h, kp_a=kp_a, act=act,
+        mm_bf16=mm_bf16, seeded=True,
+    )
+    xq2 = res["xq"].reshape(bt * s_n, d)
+
+    grads = {}
+    dv2, grads["ln2_s"], grads["ln2_b"] = _ln_bwd(
+        dout, res["vhat2"], res["inv2"], p["ln2_s"]
+    )
+    df2 = dv2 * res["m2"] if res["m2"] is not None else dv2
+    dr1 = dv2
+    df2_2 = df2.reshape(bt * s_n, d)
+    a1_2 = res["a1"].reshape(bt * s_n, -1)
+    grads["w2"] = _mmT(a1_2, df2_2)
+    grads["b2"] = jnp.sum(df2_2, axis=0)
+    da1 = _mm(df2_2, p["w2"].T).reshape(bt, s_n, -1)
+    dpre1 = da1 * act_df(res["pre1"])
+    dpre1_2 = dpre1.reshape(bt * s_n, -1)
+    grads["w1"] = _mmT(res["r1"].reshape(bt * s_n, d), dpre1_2)
+    grads["b1"] = jnp.sum(dpre1_2, axis=0)
+    dr1 = dr1 + _mm(dpre1_2, p["w1"].T).reshape(bt, s_n, d)
+
+    dv1, grads["ln1_s"], grads["ln1_b"] = _ln_bwd(
+        dr1, res["vhat1"], res["inv1"], p["ln1_s"]
+    )
+    dxq = dv1  # residual into the selected inputs
+    dao = dv1 * res["m1"] if res["m1"] is not None else dv1
+    dao2 = dao.reshape(bt * s_n, d)
+    grads["b_o"] = jnp.sum(dao2, axis=0)
+
+    dx_full = jnp.zeros((bt, t, d), jnp.float32)
+    wo_rows, wq_cols, wk_cols, wv_cols = [], [], [], []
+    bq_parts, bk_parts, bv_parts = [], [], []
+    for h in range(n_heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        hd = res["heads"][h]
+        ctx2 = hd["ctx_h"].reshape(bt * s_n, dh)
+        wo_rows.append(_mmT(ctx2, dao2))
+        dctx = _mm(dao2, p["w_o"][sl, :].T).reshape(bt, s_n, dh)
+        pd, pr = hd["pd"], hd["pr"]
+        dvh = _bmm(pd, dctx, ((1,), (1,)), mm_bf16)        # [bt,T,dh]
+        dpd = _bmm(dctx, hd["vh"], ((2,), (2,)), mm_bf16)  # [bt,S,T]
+        dp = dpd * hd["m_a"] if hd["m_a"] is not None else dpd
+        ds = pr * (dp - jnp.sum(dp * pr, axis=-1, keepdims=True))
+        dqh = _bmm(ds, hd["kh"], ((2,), (1,)), mm_bf16) * scale  # [bt,S,dh]
+        dkh = _bmm(ds, hd["qh"], ((1,), (1,)), mm_bf16) * scale  # [bt,T,dh]
+        dq2 = dqh.reshape(bt * s_n, dh)
+        dk2 = dkh.reshape(bt * t, dh)
+        dv2h = dvh.reshape(bt * t, dh)
+        wq_cols.append(_mmT(xq2, dq2))
+        wk_cols.append(_mmT(x2, dk2))
+        wv_cols.append(_mmT(x2, dv2h))
+        bq_parts.append(jnp.sum(dq2, axis=0))
+        bk_parts.append(jnp.sum(dk2, axis=0))
+        bv_parts.append(jnp.sum(dv2h, axis=0))
+        dxq = dxq + _mm(dq2, p["w_q"][:, sl].T).reshape(bt, s_n, d)
+        dx_full = dx_full + (
+            _mm(dk2, p["w_k"][:, sl].T) + _mm(dv2h, p["w_v"][:, sl].T)
+        ).reshape(bt, t, d)
+
+    grads["w_o"] = jnp.concatenate(wo_rows, axis=0)
+    grads["w_q"] = jnp.concatenate(wq_cols, axis=1)
+    grads["w_k"] = jnp.concatenate(wk_cols, axis=1)
+    grads["w_v"] = jnp.concatenate(wv_cols, axis=1)
+    grads["b_q"] = jnp.concatenate(bq_parts, axis=0)
+    grads["b_k"] = jnp.concatenate(bk_parts, axis=0)
+    grads["b_v"] = jnp.concatenate(bv_parts, axis=0)
+
+    # scatter-add the selected-position cotangents back over T
+    dx_full = dx_full + _bmm(sel, dxq, ((1,), (1,)), False)
+    dx_ref[:] = dx_full.astype(dx_ref.dtype)
+
+    @pl.when(first)
+    def _():
+        for ref in grad_refs:
+            ref[:] = jnp.zeros_like(ref)
+
+    for name, ref in zip(_PARAM_NAMES, grad_refs):
+        ref[:] += grads[name]
+
+
+def _sel_block_rows(t: int, s: int) -> int:
+    # scores are [rows, S, T]; budget rows*S*T <= 16*40*200
+    return max(1, min(16, (16 * 40 * 200) // max(1, s * t)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_heads", "hidden_dropout_p", "attn_dropout_p", "act", "mm_bf16",
+        "block_rows",
+    ),
+)
+def _block_sel_fwd(x, lens, sel_idx, seed, params, n_heads,
+                   hidden_dropout_p, attn_dropout_p, act, mm_bf16=False,
+                   block_rows=0):
+    b, t, d = x.shape
+    s_n = sel_idx.shape[1]
+    bt = block_rows or _sel_block_rows(t, s_n)
+    xp = _pad_to(x, 0, bt, 0.0)
+    lp = _pad_to(_pad_mask_rows(lens, t), 0, bt, 0.0)
+    ip = _pad_to(sel_idx.astype(jnp.int32), 0, bt, 0)
+    bp = xp.shape[0]
+    kp_h, kp_a = 1.0 - hidden_dropout_p, 1.0 - attn_dropout_p
+    block = pl.BlockSpec((bt, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    len_spec = pl.BlockSpec((bt, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    idx_spec = pl.BlockSpec((bt, s_n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    oblock = pl.BlockSpec((bt, s_n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    plist = [params[n] for n in _PARAM_NAMES]
+    out = pl.pallas_call(
+        functools.partial(
+            _sel_fwd_kernel, n_heads=n_heads, kp_h=kp_h, kp_a=kp_a,
+            act=act, mm_bf16=mm_bf16,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bp, s_n, d), x.dtype),
+        grid=(bp // bt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            block, len_spec, idx_spec,
+            *[_full_spec(p.shape) for p in plist],
+        ],
+        out_specs=oblock,
+        interpret=_interpret(min(kp_h, kp_a)),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(seed, xp, lp, ip, *plist)
+    return out[:b]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_heads", "hidden_dropout_p", "attn_dropout_p", "act", "mm_bf16",
+        "block_rows",
+    ),
+)
+def _block_sel_bwd(x, lens, sel_idx, dout, seed, params, n_heads,
+                   hidden_dropout_p, attn_dropout_p, act, mm_bf16=False,
+                   block_rows=0):
+    b, t, d = x.shape
+    s_n = sel_idx.shape[1]
+    bt = block_rows or _sel_block_rows(t, s_n)
+    xp = _pad_to(x, 0, bt, 0.0)
+    dp_ = _pad_to(dout, 0, bt, 0.0)
+    lp = _pad_to(_pad_mask_rows(lens, t), 0, bt, 0.0)
+    ip = _pad_to(sel_idx.astype(jnp.int32), 0, bt, 0)
+    bp = xp.shape[0]
+    kp_h, kp_a = 1.0 - hidden_dropout_p, 1.0 - attn_dropout_p
+    block = pl.BlockSpec((bt, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    len_spec = pl.BlockSpec((bt, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    idx_spec = pl.BlockSpec((bt, s_n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    oblock = pl.BlockSpec((bt, s_n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    plist = [params[n] for n in _PARAM_NAMES]
+    outs = pl.pallas_call(
+        functools.partial(
+            _sel_bwd_kernel, n_heads=n_heads, kp_h=kp_h, kp_a=kp_a,
+            act=act, mm_bf16=mm_bf16,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bp, t, d), x.dtype),
+            *[jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in plist],
+        ),
+        grid=(bp // bt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            block, len_spec, idx_spec, oblock,
+            *[_full_spec(p.shape) for p in plist],
+        ],
+        out_specs=(block, *[_full_spec(p.shape) for p in plist]),
+        interpret=_interpret(min(kp_h, kp_a)),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(seed, xp, lp, ip, dp_, *plist)
+    dx = outs[0][:b]
+    dparams = {n: g for n, g in zip(_PARAM_NAMES, outs[1:])}
+    return dx, dparams
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def fused_transformer_layer_sel(x, lens, sel_idx, seed, params, n_heads,
+                                hidden_dropout_p, attn_dropout_p, act,
+                                mm_bf16=False):
+    """Top BIDIRECTIONAL transformer layer fused kernel computing output
+    only at S selected positions -> [B, S, D] (x: [B,T,D]; lens: int[B];
+    sel_idx: int[B, S] position indices, need not be valid everywhere —
+    invalid entries just produce unused rows).  Queries exist only at
+    the selected positions; K/V and their grads span full T.  The
+    additive mask is key-padding only (query-row independent), so any
+    query subset sees the correct mask — hence bidirectional (or the
+    causal last row, where padding == causal).  Only valid as the FINAL
+    layer of a stack (earlier layers feed every position)."""
+    return _block_sel_fwd(
+        x, lens, sel_idx, seed, params, n_heads, hidden_dropout_p,
+        attn_dropout_p, act, mm_bf16,
+    )
+
+
+def _sel_vjp_fwd(x, lens, sel_idx, seed, params, n_heads, hidden_dropout_p,
+                 attn_dropout_p, act, mm_bf16):
+    out = _block_sel_fwd(
+        x, lens, sel_idx, seed, params, n_heads, hidden_dropout_p,
+        attn_dropout_p, act, mm_bf16,
+    )
+    return out, (x, lens, sel_idx, seed, params)
+
+
+def _sel_vjp_bwd(n_heads, hidden_dropout_p, attn_dropout_p, act, mm_bf16,
+                 res, dout):
+    x, lens, sel_idx, seed, params = res
+    dx, dparams = _block_sel_bwd(
+        x, lens, sel_idx, dout, seed, params, n_heads, hidden_dropout_p,
+        attn_dropout_p, act, mm_bf16,
+    )
+    return dx, None, None, None, dparams
+
+
+fused_transformer_layer_sel.defvjp(_sel_vjp_fwd, _sel_vjp_bwd)

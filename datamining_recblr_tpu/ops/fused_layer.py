@@ -731,7 +731,9 @@ def _last_bwd_kernel(
 def _layer_last_fwd(x, lens, seed, params, use_conv, use_ffn, dropout_p,
                     mm_bf16=False, block_rows=0):
     b, t, d = x.shape
-    bt = block_rows or _block_rows(t, _FWD_BUDGET)
+    # without full-T FFN tensors the working set is smaller than the
+    # standard forward's; 32-row blocks measured fastest at T=200
+    bt = block_rows or _block_rows(t, 32 * 200, cap=32)
     xp = _pad_to(x, 0, bt, 0.0)
     lp = _pad_to(lens.astype(jnp.int32).reshape(-1, 1), 0, bt, 0)
     bp = xp.shape[0]
@@ -767,7 +769,8 @@ def _layer_last_fwd(x, lens, seed, params, use_conv, use_ffn, dropout_p,
 def _layer_last_bwd(x, lens, dout, seed, params, use_conv, use_ffn, dropout_p,
                     mm_bf16=False, block_rows=0):
     b, t, d = x.shape
-    bt = block_rows or _block_rows(t, _BWD_BUDGET, _BWD_CAP)
+    # 16-row blocks measured fastest at T=200 (32 regresses)
+    bt = block_rows or _block_rows(t, 16 * 200, cap=16)
     xp = _pad_to(x, 0, bt, 0.0)
     lp = _pad_to(lens.astype(jnp.int32).reshape(-1, 1), 0, bt, 0)
     dp = _pad_to(dout, 0, bt, 0.0)

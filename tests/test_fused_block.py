@@ -199,3 +199,93 @@ def test_sasrec_last_only_matches_fallback(monkeypatch):
     monkeypatch.setattr(L, "_use_fused_attention", lambda: False)
     out_r = m.forward(params, jnp.asarray(seq), jnp.asarray(lens))
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r), atol=5e-5)
+
+
+def test_fused_block_sel_forward_matches_full():
+    layers, x, lens, item_seq = _setup(seed=7)
+    fp = _nested_to_flat(layers[0])
+    seed = jnp.zeros((1,), jnp.int32)
+    b, t = x.shape[0], x.shape[1]
+    rng = np.random.default_rng(8)
+    sel = jnp.asarray(
+        np.stack([rng.choice(t, size=3, replace=False) for _ in range(b)]),
+        jnp.int32,
+    )
+    full = FB.fused_transformer_layer(x, lens, seed, fp, False, 2, 0.0, 0.0, "gelu")
+    want = jnp.take_along_axis(full, sel[..., None], axis=1)
+    got = FB.fused_transformer_layer_sel(x, lens, sel, seed, fp, 2, 0.0, 0.0, "gelu")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_fused_block_sel_grads_match_full():
+    layers, x, lens, item_seq = _setup(seed=9)
+    seed = jnp.zeros((1,), jnp.int32)
+    b, t = x.shape[0], x.shape[1]
+    rng = np.random.default_rng(10)
+    sel = jnp.asarray(
+        np.stack([rng.choice(t, size=3, replace=False) for _ in range(b)]),
+        jnp.int32,
+    )
+
+    def loss_full(x, nested):
+        out = FB.fused_transformer_layer(
+            x, lens, seed, _nested_to_flat(nested), False, 2, 0.0, 0.0, "gelu"
+        )
+        g = jnp.take_along_axis(out, sel[..., None], axis=1)
+        return jnp.sum(g * g)
+
+    def loss_sel(x, nested):
+        g = FB.fused_transformer_layer_sel(
+            x, lens, sel, seed, _nested_to_flat(nested), 2, 0.0, 0.0, "gelu"
+        )
+        return jnp.sum(g * g)
+
+    gx_ref, gp_ref = jax.grad(loss_full, argnums=(0, 1))(x, layers[0])
+    gx, gp = jax.grad(loss_sel, argnums=(0, 1))(x, layers[0])
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=3e-4)
+    flat_ref = jax.tree_util.tree_leaves_with_path(gp_ref)
+    flat = dict(jax.tree_util.tree_leaves_with_path(gp))
+    for path, ref in flat_ref:
+        np.testing.assert_allclose(
+            np.asarray(flat[path]), np.asarray(ref), atol=3e-4,
+            err_msg=str(path),
+        )
+
+
+def test_bert4rec_fused_sel_matches_fallback(monkeypatch):
+    """BERT4Rec loss and eval forward: fused selected-positions path vs
+    the XLA fallback (dropout off so paths are comparable)."""
+    from datamining_recblr_tpu.config import Config
+    from datamining_recblr_tpu.models import get_model
+
+    cfg = Config(
+        model="BERT4Rec",
+        config_dict={
+            "hidden_size": 16, "n_layers": 2, "n_heads": 2,
+            "inner_size": 32, "MAX_ITEM_LIST_LENGTH": 12,
+            "hidden_dropout_prob": 0.0, "attn_dropout_prob": 0.0,
+            "mask_ratio": 0.3,
+        },
+    )
+    m = get_model("BERT4Rec")(cfg, n_items=50, max_seq_len=12)
+    params = m.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(4)
+    lens = rng.integers(2, 13, size=6).astype(np.int32)
+    seq = rng.integers(1, 50, size=(6, 12)).astype(np.int32)
+    seq = np.where(np.arange(12)[None] < lens[:, None], seq, 0)
+    batch = {
+        "item_seq": jnp.asarray(seq),
+        "item_seq_len": jnp.asarray(lens),
+        "pos_item": jnp.asarray(rng.integers(1, 50, size=6).astype(np.int32)),
+        "weight": jnp.ones((6,), jnp.float32),
+    }
+    key = jax.random.PRNGKey(7)
+
+    monkeypatch.setattr(L, "_use_fused_attention", lambda: True)
+    loss_f = float(m.calculate_loss(params, batch, key))
+    fwd_f = m.forward(params, batch["item_seq"], batch["item_seq_len"])
+    monkeypatch.setattr(L, "_use_fused_attention", lambda: False)
+    loss_r = float(m.calculate_loss(params, batch, key))
+    fwd_r = m.forward(params, batch["item_seq"], batch["item_seq_len"])
+    np.testing.assert_allclose(loss_f, loss_r, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(fwd_f), np.asarray(fwd_r), atol=5e-5)
