@@ -108,8 +108,13 @@ class RecBLR(SequentialModel):
         return params
 
     # ------------------------------------------------------------------
-    def _gated_recurrent(self, p, x, *, deterministic, rng):
-        """Gated BD-LRU block (reference ``RecBLR.py:170-207``, paper Alg. 1)."""
+    def _gated_recurrent(self, p, x, *, deterministic, rng, lens=None):
+        """Gated BD-LRU block (reference ``RecBLR.py:170-207``, paper Alg. 1).
+
+        With ``lens`` (top layer of the unfused path) the output
+        projection runs only at each row's last position -> [B, 1, D]:
+        everything after the scan is dead code elsewhere because the
+        model head consumes gather_last alone (RecBLR.py:83,86-122)."""
         del deterministic, rng  # no dropout inside the block
         xz = x @ p["w_in"].astype(x.dtype)
         xb, z = jnp.split(xz, 2, axis=-1)
@@ -155,6 +160,10 @@ class RecBLR(SequentialModel):
             h = linear_scan(alpha, beta * xb32, impl=self.scan_impl)
             h = h.astype(x.dtype)
 
+        if lens is not None:
+            idx = (lens - 1)[:, None, None]
+            h = jnp.take_along_axis(h, idx, axis=1)  # [B, 1, C]
+            z = jnp.take_along_axis(z, idx, axis=1)
         return (jax.nn.silu(z) * h) @ p["w_out"].astype(x.dtype)
 
     def _ffn(self, p, x, *, deterministic, rng):
@@ -319,18 +328,27 @@ class RecBLR(SequentialModel):
                 )
             return L.gather_last(x, item_seq_len)
 
-        for layer in params["layers"]:
+        n_layers = len(params["layers"])
+        for li, layer in enumerate(params["layers"]):
             if rng is not None:
                 rng, k_grl, k_drop, k_ffn = jax.random.split(rng, 4)
             else:
                 k_grl = k_drop = k_ffn = None
+            last = li == n_layers - 1
             h = self._gated_recurrent(
-                layer["grl"], x, deterministic=deterministic, rng=k_grl
+                layer["grl"], x, deterministic=deterministic, rng=k_grl,
+                lens=item_seq_len if last else None,
             )
+            if last:
+                # top layer: only the last position is consumed — the
+                # residual/LN/FFN tail runs on [B, 1, D]
+                x = jnp.take_along_axis(
+                    x, (item_seq_len - 1)[:, None, None], axis=1
+                )
             if k_drop is not None:
                 h = L.dropout(k_drop, h, self.dropout_prob, deterministic)
             x = L.layer_norm(layer["ln"], h + x)
             if not self.disable_ffn:
                 x = self._ffn(layer["ffn"], x, deterministic=deterministic, rng=k_ffn)
 
-        return L.gather_last(x, item_seq_len)
+        return x[:, 0, :] if n_layers else L.gather_last(x, item_seq_len)
