@@ -149,13 +149,22 @@ class BERT4Rec(SequentialModel):
             jax.random.bernoulli(k_mask, self.mask_ratio, item_seq.shape), real
         )
         # cap the number of masked positions at the budget
-        cloze = jnp.logical_and(want, jnp.cumsum(want, axis=1) <= mask_len)
+        rank = jnp.cumsum(want, axis=1)  # 1-based rank among masked
+        cloze = jnp.logical_and(want, rank <= mask_len)
         masked_seq = jnp.where(cloze, self.mask_token, item_seq)
 
-        # stable argsort brings masked positions (in order) to the front
-        order = jnp.argsort(~cloze, axis=1, stable=True)[:, :mask_len]  # [B, L_m]
-        sel_tgt = jnp.take_along_axis(item_seq, order, axis=1)          # [B, L_m]
-        sel_valid = jnp.take_along_axis(cloze, order, axis=1)           # [B, L_m]
+        # compaction of the masked positions to the front WITHOUT
+        # argsort/gather (slow on TPU: ~1.7 ms at [2048,200]): the
+        # one-hot W[b,j,t] = (rank[b,t]==j+1 & cloze[b,t]) reduces
+        # positions/targets with compare+sum only
+        j1 = jnp.arange(1, mask_len + 1, dtype=rank.dtype)[None, :, None]
+        w_sel = jnp.logical_and(rank[:, None, :] == j1, cloze[:, None, :])
+        wf = w_sel.astype(jnp.int32)                                    # [B,L_m,T]
+        pos = jnp.arange(t, dtype=jnp.int32)[None, None, :]
+        order = jnp.sum(wf * pos, axis=2)                               # [B, L_m]
+        sel_tgt = jnp.sum(wf * item_seq[:, None, :], axis=2)            # [B, L_m]
+        n_masked = jnp.sum(cloze.astype(jnp.int32), axis=1)
+        sel_valid = jnp.arange(mask_len, dtype=jnp.int32)[None, :] < n_masked[:, None]
 
         # on the fused path the top layer computes only the selected
         # positions (queries [L_m, T] instead of [T, T])
