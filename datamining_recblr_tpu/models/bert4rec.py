@@ -73,10 +73,9 @@ class BERT4Rec(SequentialModel):
         t = item_seq.shape[1]
         x = self.embed(params, item_seq).astype(self.compute_dtype)
         x = x + params["position_embedding"][:t].astype(self.compute_dtype)
-        x = L.layer_norm(params["input_ln"], x)
-        if rng is not None:
-            rng, sub = jax.random.split(rng)
-            x = L.dropout(sub, x, self.hidden_dropout_prob, deterministic)
+        x, rng = L.prologue_ln_dropout(
+            params["input_ln"], x, self.hidden_dropout_prob, deterministic, rng
+        )
         mask = L.attention_mask(item_seq, bidirectional=True)
         lens = jnp.sum((item_seq != 0).astype(jnp.int32), axis=1)
         x = L.transformer_encoder_apply(

@@ -117,6 +117,36 @@ def _use_fused_attention():
     return _jax.default_backend() == "tpu"
 
 
+def prologue_ln_dropout(ln_params, x, dropout_p, deterministic, rng):
+    """dropout(LN(x)) — the attention baselines' embedding prologue
+    (reference sasrec.py:104-105 order).  On the TPU it runs as one
+    Pallas kernel with in-kernel PRNG (ops/fused_layer.fused_ln_dropout
+    — XLA's composition materializes rng bits + keep mask + f32 stats
+    in HBM); elsewhere the plain composition.  Returns (x, rng)."""
+    if _use_fused_attention() and x.shape[-1] <= 512:
+        from datamining_recblr_tpu.ops.fused_layer import fused_ln_dropout
+
+        training = rng is not None and not deterministic
+        p = float(dropout_p) if training else 0.0
+        if training:
+            rng, k_seed = jax.random.split(rng)
+            seed = jax.random.randint(k_seed, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+        else:
+            seed = jnp.zeros((1,), jnp.int32)
+        x = fused_ln_dropout(
+            x, seed,
+            ln_params["scale"].astype(jnp.float32),
+            ln_params["bias"].astype(jnp.float32),
+            p,
+        )
+        return x, rng
+    x = layer_norm(ln_params, x)
+    if rng is not None:
+        rng, sub = jax.random.split(rng)
+        x = dropout(sub, x, dropout_p, deterministic)
+    return x, rng
+
+
 def _multi_head_attention(
     p, x, attn_mask, n_heads, *, hidden_dropout, attn_dropout, deterministic, rng,
     lens=None, causal=None,

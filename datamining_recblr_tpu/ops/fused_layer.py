@@ -962,3 +962,121 @@ def _dln_vjp_bwd(dropout_p, res, dout):
 
 
 fused_dropout_ln.defvjp(_dln_vjp_fwd, _dln_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused LayerNorm -> dropout (the attention baselines' embedding
+# prologue order — reference sasrec.py:104-105 / bert4rec.py's
+# LayerNorm-then-dropout): the reverse composition of fused_dropout_ln.
+# ---------------------------------------------------------------------------
+
+
+def _ln_dropout_fwd_kernel(seed_ref, x_ref, s_ref, b_ref, o_ref, *, keep_prob):
+    if keep_prob < 1.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    x = x_ref[:].astype(jnp.float32)
+    out, _, _ = _ln_fwd(x, s_ref[:].astype(jnp.float32), b_ref[:].astype(jnp.float32))
+    if keep_prob < 1.0:
+        out = out * _dropout_mask(out.shape, keep_prob)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _ln_dropout_bwd_kernel(
+    seed_ref, x_ref, dout_ref, s_ref, b_ref, dx_ref, ds_ref, db_ref, *, keep_prob
+):
+    first = pl.program_id(0) == 0
+    if keep_prob < 1.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    x = x_ref[:].astype(jnp.float32)
+    dout = dout_ref[:].astype(jnp.float32)
+    scale = s_ref[:].astype(jnp.float32)
+    bias = b_ref[:].astype(jnp.float32)
+    _, vhat, inv = _ln_fwd(x, scale, bias)
+    if keep_prob < 1.0:
+        dout = dout * _dropout_mask(x.shape, keep_prob)
+    dv, dscale, dbias = _ln_bwd(dout, vhat, inv, scale)
+    dx_ref[:] = dv.astype(dx_ref.dtype)
+
+    @pl.when(first)
+    def _():
+        ds_ref[:] = jnp.zeros_like(ds_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    ds_ref[:] += dscale
+    db_ref[:] += dbias
+
+
+@functools.partial(jax.jit, static_argnames=("dropout_p",))
+def _ln_dropout_fwd(x, seed, scale, bias, dropout_p):
+    b, t, d = x.shape
+    bt = _block_rows(t, _FWD_BUDGET)
+    xp = _pad_to(x, 0, bt, 0.0)
+    bp = xp.shape[0]
+    block = pl.BlockSpec((bt, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_ln_dropout_fwd_kernel, keep_prob=1.0 - dropout_p),
+        out_shape=jax.ShapeDtypeStruct((bp, t, d), x.dtype),
+        grid=(bp // bt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            block,
+            _full_spec(scale.shape),
+            _full_spec(bias.shape),
+        ],
+        out_specs=block,
+        interpret=_interpret(1.0 - dropout_p),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(seed, xp, scale, bias)
+    return out[:b]
+
+
+@functools.partial(jax.jit, static_argnames=("dropout_p",))
+def _ln_dropout_bwd(x, dout, seed, scale, bias, dropout_p):
+    b, t, d = x.shape
+    bt = _block_rows(t, _FWD_BUDGET)
+    xp = _pad_to(x, 0, bt, 0.0)
+    dp = _pad_to(dout, 0, bt, 0.0)
+    bp = xp.shape[0]
+    block = pl.BlockSpec((bt, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_ln_dropout_bwd_kernel, keep_prob=1.0 - dropout_p),
+        out_shape=(
+            jax.ShapeDtypeStruct((bp, t, d), x.dtype),
+            jax.ShapeDtypeStruct(scale.shape, jnp.float32),
+            jax.ShapeDtypeStruct(scale.shape, jnp.float32),
+        ),
+        grid=(bp // bt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            block,
+            block,
+            _full_spec(scale.shape),
+            _full_spec(scale.shape),
+        ],
+        out_specs=(block, _full_spec(scale.shape), _full_spec(scale.shape)),
+        interpret=_interpret(1.0 - dropout_p),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(seed, xp, dp, scale, bias)
+    return outs[0][:b], outs[1], outs[2]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_ln_dropout(x, seed, scale, bias, dropout_p):
+    """dropout(LN(x)) as one Pallas kernel (in-kernel PRNG; the
+    backward replays the identical mask).  Same contract as
+    fused_dropout_ln with the composition order reversed — the
+    attention baselines' prologue (reference sasrec.py:104-105)."""
+    return _ln_dropout_fwd(x, seed, scale, bias, dropout_p)
+
+
+def _lnd_vjp_fwd(x, seed, scale, bias, dropout_p):
+    return _ln_dropout_fwd(x, seed, scale, bias, dropout_p), (x, seed, scale, bias)
+
+
+def _lnd_vjp_bwd(dropout_p, res, dout):
+    x, seed, scale, bias = res
+    dx, dscale, dbias = _ln_dropout_bwd(x, dout, seed, scale, bias, dropout_p)
+    return dx, None, dscale, dbias
+
+
+fused_ln_dropout.defvjp(_lnd_vjp_fwd, _lnd_vjp_bwd)

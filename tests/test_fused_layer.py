@@ -325,3 +325,51 @@ def test_fused_layer_last_dropout_mask_replay():
         minus = np.asarray(x).copy(); minus[idx] -= eps
         num = (loss(jnp.asarray(plus)) - loss(jnp.asarray(minus))) / (2 * eps)
         np.testing.assert_allclose(np.asarray(g)[idx], float(num), rtol=5e-2, atol=2e-3)
+
+
+def test_fused_ln_dropout_forward_and_vjp():
+    from datamining_recblr_tpu.ops.fused_layer import fused_ln_dropout
+
+    rng = np.random.default_rng(51)
+    x = jnp.asarray(rng.standard_normal((5, 12, D)).astype(np.float32))
+    s = jnp.asarray(1.0 + 0.1 * rng.standard_normal(D).astype(np.float32))
+    b = jnp.asarray(0.1 * rng.standard_normal(D).astype(np.float32))
+    seed = jnp.zeros((1,), jnp.int32)
+    cot = jnp.asarray(rng.standard_normal((5, 12, D)).astype(np.float32))
+
+    got = fused_ln_dropout(x, seed, s, b, 0.0)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(_ln_ref(x, s, b)), rtol=3e-5, atol=3e-5
+    )
+
+    _, vjp_f = jax.vjp(lambda x_, s_, b_: fused_ln_dropout(x_, seed, s_, b_, 0.0), x, s, b)
+    _, vjp_u = jax.vjp(lambda x_, s_, b_: _ln_ref(x_, s_, b_), x, s, b)
+    for gf, gu, name in zip(vjp_f(cot), vjp_u(cot), ("dx", "dscale", "dbias")):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gu), rtol=5e-4, atol=5e-5, err_msg=name
+        )
+
+
+def test_fused_ln_dropout_mask_replay():
+    from datamining_recblr_tpu.ops.fused_layer import fused_ln_dropout
+
+    rng = np.random.default_rng(52)
+    x = jnp.asarray(rng.standard_normal((2, 6, D)).astype(np.float32))
+    s = jnp.ones((D,), jnp.float32)
+    b = jnp.zeros((D,), jnp.float32)
+    seed = jnp.asarray([77], jnp.int32)
+
+    out1 = fused_ln_dropout(x, seed, s, b, 0.4)
+    out2 = fused_ln_dropout(x, seed, s, b, 0.4)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+    def loss(x_):
+        return jnp.sum(jnp.sin(fused_ln_dropout(x_, seed, s, b, 0.4)))
+
+    g = jax.grad(loss)(x)
+    eps = 1e-3
+    for idx in [(0, 0, 3), (1, 4, 10)]:
+        plus = np.asarray(x).copy(); plus[idx] += eps
+        minus = np.asarray(x).copy(); minus[idx] -= eps
+        num = (loss(jnp.asarray(plus)) - loss(jnp.asarray(minus))) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(g)[idx], float(num), rtol=5e-2, atol=1e-3)
