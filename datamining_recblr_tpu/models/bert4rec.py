@@ -71,6 +71,10 @@ class BERT4Rec(SequentialModel):
         applying it after selection is math-identical to the
         reference's head-over-all-positions (bert4rec.py:83-86)."""
         t = item_seq.shape[1]
+        if select is not None and select.shape[1] >= t:
+            # S == T makes "did the fused path select?" ambiguous from
+            # shapes (and saves nothing) — use the full path
+            select = None
         x = self.embed(params, item_seq).astype(self.compute_dtype)
         x = x + params["position_embedding"][:t].astype(self.compute_dtype)
         x, rng = L.prologue_ln_dropout(
@@ -93,7 +97,9 @@ class BERT4Rec(SequentialModel):
             last_only=last_only,
             select=select,
         )
-        selected = x.ndim == 2 or (select is not None and x.shape[1] == select.shape[1] and select.shape[1] != t)
+        # with select < T enforced above, the fused path is the only way
+        # the sequence axis can shrink
+        selected = x.ndim == 2 or (select is not None and x.shape[1] != t)
         x = jax.nn.gelu(L.dense(params["output_ffn"], x))
         return L.layer_norm(params["output_ln"], x), selected
 

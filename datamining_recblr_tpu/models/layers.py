@@ -267,7 +267,14 @@ def transformer_encoder_apply(
                     )
                 if select is not None and li == len(layers) - 1:
                     # top layer: only S selected positions are consumed
-                    # (bidirectional cloze loss)
+                    # (bidirectional cloze loss).  The sel kernel's mask
+                    # is key-padding only — a causal stack would silently
+                    # leak future positions through it.
+                    if causal:
+                        raise ValueError(
+                            "select= requires a bidirectional stack; the "
+                            "selected-positions kernel has no causal mask"
+                        )
                     return FB.fused_transformer_layer_sel(
                         x, lens, select, seed, fp, n_heads,
                         p_hidden, p_attn, hidden_act, mm_bf16,

@@ -45,6 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from datamining_recblr_tpu.ops.fused_layer import (
     _dropout_mask,
+    _last_mask,
     _full_spec,
     _interpret,
     _ln_bwd,
@@ -500,12 +501,6 @@ def _block_last_rows(t: int) -> int:
     return max(1, min(32, (32 * 200) // t))
 
 
-def _last_onehot(lens, bt, t):
-    """f32 [bt, t, 1] one-hot of each row's last valid position."""
-    pos = jax.lax.broadcasted_iota(jnp.int32, (bt, t), 1)
-    return (pos == lens - 1).astype(jnp.float32)[:, :, None]
-
-
 def _block_last_fwd_core(x, padrow, m, p, *, n_heads, kp_h, kp_a, act,
                          mm_bf16, seeded):
     """Forward returning only the last-position output [bt, 1, D].
@@ -574,7 +569,7 @@ def _last_fwd_kernel(seed_ref, x_ref, len_ref, lens_ref, *refs, n_heads,
     x = x_ref[:].astype(jnp.float32)
     padrow = len_ref[:].astype(jnp.float32)
     bt, t, d = x.shape
-    m = _last_onehot(lens_ref[:], bt, t)
+    m = _last_mask(lens_ref[:], bt, t)
     p = _params_from_refs(param_refs)
     res = _block_last_fwd_core(
         x, padrow, m, p, n_heads=n_heads, kp_h=kp_h, kp_a=kp_a, act=act,
@@ -603,7 +598,7 @@ def _last_bwd_kernel(seed_ref, x_ref, len_ref, lens_ref, dout_ref, *refs,
     dh = d // n_heads
     scale = 1.0 / math.sqrt(dh)
     x2 = x.reshape(bt * t, d)
-    m = _last_onehot(lens_ref[:], bt, t)
+    m = _last_mask(lens_ref[:], bt, t)
 
     res = _block_last_fwd_core(
         x, padrow, m, p, n_heads=n_heads, kp_h=kp_h, kp_a=kp_a, act=act,

@@ -501,6 +501,16 @@ def supports(d: int, c: int) -> bool:
 # ---------------------------------------------------------------------------
 
 
+def _last_block_rows(t: int) -> int:
+    """Block height for BOTH last-variant directions.  The in-kernel
+    dropout seed is seed + program_id, so the backward replays
+    bit-identical masks only if fwd and bwd share the block-to-row
+    mapping — a single source of truth keeps them from drifting.
+    16 rows measured fastest for the bwd at T=200 (32 regresses; a
+    32-row fwd would be ~0.2 ms faster but breaks replay)."""
+    return _block_rows(t, 16 * 200, cap=16)
+
+
 def _last_mask(lens, bt, t):
     """f32 [bt, t, 1] one-hot of each row's last valid position."""
     pos = jax.lax.broadcasted_iota(jnp.int32, (bt, t), 1)
@@ -731,9 +741,7 @@ def _last_bwd_kernel(
 def _layer_last_fwd(x, lens, seed, params, use_conv, use_ffn, dropout_p,
                     mm_bf16=False, block_rows=0):
     b, t, d = x.shape
-    # without full-T FFN tensors the working set is smaller than the
-    # standard forward's; 32-row blocks measured fastest at T=200
-    bt = block_rows or _block_rows(t, 32 * 200, cap=32)
+    bt = block_rows or _last_block_rows(t)
     xp = _pad_to(x, 0, bt, 0.0)
     lp = _pad_to(lens.astype(jnp.int32).reshape(-1, 1), 0, bt, 0)
     bp = xp.shape[0]
@@ -769,8 +777,7 @@ def _layer_last_fwd(x, lens, seed, params, use_conv, use_ffn, dropout_p,
 def _layer_last_bwd(x, lens, dout, seed, params, use_conv, use_ffn, dropout_p,
                     mm_bf16=False, block_rows=0):
     b, t, d = x.shape
-    # 16-row blocks measured fastest at T=200 (32 regresses)
-    bt = block_rows or _block_rows(t, 16 * 200, cap=16)
+    bt = block_rows or _last_block_rows(t)
     xp = _pad_to(x, 0, bt, 0.0)
     lp = _pad_to(lens.astype(jnp.int32).reshape(-1, 1), 0, bt, 0)
     dp = _pad_to(dout, 0, bt, 0.0)

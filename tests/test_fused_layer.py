@@ -373,3 +373,36 @@ def test_fused_ln_dropout_mask_replay():
         minus = np.asarray(x).copy(); minus[idx] -= eps
         num = (loss(jnp.asarray(plus)) - loss(jnp.asarray(minus))) / (2 * eps)
         np.testing.assert_allclose(np.asarray(g)[idx], float(num), rtol=5e-2, atol=1e-3)
+
+
+def test_fused_layer_last_dropout_replay_across_blocks():
+    """fwd and bwd of the last-variant must share one block-to-row
+    mapping or the seed+program_id dropout replay silently breaks on
+    multi-block batches (the PRNG draws would come from different
+    seeds/shapes per row).  Checks the shared helper and that masks
+    replay on a batch spanning several blocks."""
+    from datamining_recblr_tpu.ops import fused_layer as FL
+
+    for t in (8, 50, 200, 400, 512):
+        assert FL._last_block_rows(t) >= 1
+    # multi-block batch: B=40 at T=8 -> several blocks in both directions
+    rng = np.random.default_rng(61)
+    p = _params(rng, use_ffn=False)
+    p = {k: v for k, v in p.items() if not k.startswith(("w1", "b1", "w2", "b2", "ln2"))}
+    x = jnp.asarray(rng.standard_normal((40, 8, D)).astype(np.float32))
+    lens = jnp.asarray(rng.integers(1, 9, size=40), jnp.int32)
+    seed = jnp.asarray([5], jnp.int32)
+
+    def loss(x_):
+        return jnp.sum(
+            jnp.sin(FL.fused_recurrent_layer_last(x_, lens, seed, p, True, False, 0.4))
+        )
+
+    g = jax.grad(loss)(x)
+    # FD at a last position of a row in a late block
+    eps = 1e-3
+    idx = (37, int(lens[37]) - 1, 5)
+    plus = np.asarray(x).copy(); plus[idx] += eps
+    minus = np.asarray(x).copy(); minus[idx] -= eps
+    num = (loss(jnp.asarray(plus)) - loss(jnp.asarray(minus))) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(g)[idx], float(num), rtol=5e-2, atol=2e-3)
