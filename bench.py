@@ -25,6 +25,67 @@ import jax.numpy as jnp
 BASELINE_EXAMPLES_PER_S = 16100.0  # A100-40GB, paper Table 5 (61 s/epoch)
 
 
+def eval_main(model_name: str = "RecBLR"):
+    """Full-sort evaluation throughput: users/s through forward +
+    full-catalog scoring + top-k (the reference's 0.75 s / ~17k users
+    on a 24 GB GPU = ~23k users/s — SURVEY §6B)."""
+    from datamining_recblr_tpu.config import Config
+    from datamining_recblr_tpu.data.synthetic import synthetic_splits
+    from datamining_recblr_tpu.models import get_model
+
+    on_tpu = jax.default_backend() == "tpu"
+    batch = 4096 if on_tpu else 128  # reference eval batch (config.yaml:41)
+    steps = 20 if on_tpu else 2
+    n_items, max_len = 3417, 200
+
+    cfg = Config(
+        model=model_name,
+        config_dict={
+            "MAX_ITEM_LIST_LENGTH": max_len,
+            "compute_dtype": "bfloat16" if on_tpu else "float32",
+            "use_pallas_scan": "auto",
+        },
+    )
+    model = get_model(model_name)(cfg, n_items=n_items, max_seq_len=max_len)
+    params = model.init_params(jax.random.PRNGKey(0))
+    _, evald = synthetic_splits(6040, n_items, max_len, batch * 2, seed=0)
+    seqs = jnp.asarray(evald.item_seq[:batch])
+    lens = jnp.asarray(evald.item_seq_len[:batch])
+
+    @jax.jit
+    def score_topk(params, seqs, lens, i):
+        scores = model.full_sort_scores(params, seqs, lens)
+        # fold the step index in so no iteration is cached away
+        scores = scores + (i * 1e-12)
+        return jax.lax.top_k(scores, 10)
+
+    def run(k):
+        v = None
+        for i in range(k):
+            v, _ = score_topk(params, seqs, lens, i)
+        return float(v[0, 0])
+
+    run(3)
+    t0 = time.perf_counter()
+    run(steps)
+    t_short = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run(3 * steps)
+    t_long = time.perf_counter() - t0
+    dt = max(t_long - t_short, 1e-9)
+    users_per_s = batch * (2 * steps) / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"{model_name.lower()}_fullsort_eval_users_per_s_per_chip",
+                "value": round(users_per_s, 1),
+                "unit": "users/s",
+                "vs_baseline": round(users_per_s / 23000.0, 3),
+            }
+        )
+    )
+
+
 def main(model_name: str = "RecBLR"):
     from datamining_recblr_tpu.config import Config
     from datamining_recblr_tpu.data.synthetic import synthetic_splits
@@ -120,4 +181,12 @@ if __name__ == "__main__":
         "--model", default="RecBLR", choices=["RecBLR", "SASRec", "BERT4Rec"],
         help="model to bench (the driver runs the default, RecBLR)",
     )
-    main(ap.parse_args().model)
+    ap.add_argument(
+        "--phase", default="train", choices=["train", "eval"],
+        help="train step throughput (default) or full-sort eval users/s",
+    )
+    args = ap.parse_args()
+    if args.phase == "eval":
+        eval_main(args.model)
+    else:
+        main(args.model)

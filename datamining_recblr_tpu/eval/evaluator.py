@@ -159,10 +159,9 @@ class Evaluator:
                     jnp.asarray(cands),
                     jnp.asarray(batch["weight"]),
                 )
-                for key, (s, w) in acc.items():
-                    cur = sums.setdefault(key, [0.0, 0.0])
-                    cur[0] += float(s)
-                    cur[1] += float(w)
+                for key, (sv, wv) in acc.items():
+                    cur = sums.get(key)
+                    sums[key] = (sv, wv) if cur is None else (cur[0] + sv, cur[1] + wv)
                 continue
             if self.mesh is not None:
                 from datamining_recblr_tpu.parallel.sharding import shard_batch
@@ -191,11 +190,17 @@ class Evaluator:
                 acc = self._eval_step_hist(*args, jnp.asarray(hist))
             else:
                 acc = self._eval_step(*args)
-            for key, (s, w) in acc.items():
-                cur = sums.setdefault(key, [0.0, 0.0])
-                cur[0] += float(s)
-                cur[1] += float(w)
-        return {k: (s / w if w else 0.0) for k, (s, w) in sums.items()}
+            # accumulate ON DEVICE: a float() here would force a full
+            # host round-trip per batch (expensive on a remote/tunneled
+            # TPU) and stop batch upload from overlapping with compute
+            for key, (sv, wv) in acc.items():
+                cur = sums.get(key)
+                sums[key] = (sv, wv) if cur is None else (cur[0] + sv, cur[1] + wv)
+        out = {}
+        for k, (sv, wv) in sums.items():
+            w = float(wv)
+            out[k] = float(sv) / w if w else 0.0
+        return out
 
 
 def format_result(result: dict[str, float]) -> str:
