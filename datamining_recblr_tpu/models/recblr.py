@@ -277,18 +277,22 @@ class RecBLR(SequentialModel):
                     seed = seed + jax.lax.axis_index("data").astype(jnp.int32) * 1000003
                     return fused_dropout_ln(xs, seed, s, b, p_drop)
 
-                @_ft.partial(
-                    jax.shard_map,
-                    mesh=self.mesh,
-                    in_specs=(_P("data"), _P(), _P()),
-                    out_specs=_P("data"),
-                    check_vma=False,
-                )
-                def _layer_sharded(xs, seed, flat):
-                    seed = seed + jax.lax.axis_index("data").astype(jnp.int32) * 1000003
-                    return fused_recurrent_layer(
-                        xs, seed, flat, use_conv, use_ffn, p_drop, mm_bf16
+                def _make_layer_sharded(prologue):
+                    @_ft.partial(
+                        jax.shard_map,
+                        mesh=self.mesh,
+                        in_specs=(_P("data"), _P(), _P()),
+                        out_specs=_P("data"),
+                        check_vma=False,
                     )
+                    def _layer_sharded(xs, seed, flat):
+                        seed = seed + jax.lax.axis_index("data").astype(jnp.int32) * 1000003
+                        return fused_recurrent_layer(
+                            xs, seed, flat, use_conv, use_ffn, p_drop, mm_bf16,
+                            prologue,
+                        )
+
+                    return _layer_sharded
 
                 @_ft.partial(
                     jax.shard_map,
@@ -303,18 +307,30 @@ class RecBLR(SequentialModel):
                         xs, lens, seed, flat, use_conv, use_ffn, p_drop, mm_bf16
                     )
 
-                x = _prologue_sharded(x, seeds[-1], ln_s, ln_b)
                 n_layers = len(params["layers"])
+                # with >= 2 layers the prologue fuses into layer 0's
+                # kernel; a 1-layer model keeps the standalone kernel
+                # (the last-position kernel has no prologue support)
+                fuse_pro = n_layers >= 2
+                if not fuse_pro:
+                    x = _prologue_sharded(x, seeds[-1], ln_s, ln_b)
                 for li, layer in enumerate(params["layers"]):
                     flat = self._flat_layer_params(layer, use_ffn)
                     if li == n_layers - 1:
                         # top layer: only the last position is consumed
                         return _layer_last_sharded(x, item_seq_len, seeds[li], flat)
-                    x = _layer_sharded(x, seeds[li], flat)
+                    if fuse_pro and li == 0:
+                        flat = dict(flat, pl_s=ln_s, pl_b=ln_b)
+                        x = _make_layer_sharded(True)(x, seeds[li], flat)
+                    else:
+                        x = _make_layer_sharded(False)(x, seeds[li], flat)
                 return L.gather_last(x, item_seq_len)
 
-            x = fused_dropout_ln(x, seeds[-1], ln_s, ln_b, p_drop)
             n_layers = len(params["layers"])
+            # with >= 2 layers the prologue fuses into layer 0's kernel
+            fuse_pro = n_layers >= 2
+            if not fuse_pro:
+                x = fused_dropout_ln(x, seeds[-1], ln_s, ln_b, p_drop)
             for li, layer in enumerate(params["layers"]):
                 flat = self._flat_layer_params(layer, use_ffn)
                 if li == n_layers - 1:
@@ -323,8 +339,11 @@ class RecBLR(SequentialModel):
                         x, item_seq_len, seeds[li], flat,
                         use_conv, use_ffn, p_drop, mm_bf16,
                     )
+                pro = fuse_pro and li == 0
+                if pro:
+                    flat = dict(flat, pl_s=ln_s, pl_b=ln_b)
                 x = fused_recurrent_layer(
-                    x, seeds[li], flat, use_conv, use_ffn, p_drop, mm_bf16
+                    x, seeds[li], flat, use_conv, use_ffn, p_drop, mm_bf16, pro
                 )
             return L.gather_last(x, item_seq_len)
 

@@ -178,20 +178,36 @@ def _layer_fwd_core(x, p, *, use_conv, use_ffn, keep_prob, seeded, mm_bf16=False
     )
 
 
-def _params_from_refs(refs, use_ffn):
+def _param_names(use_ffn, prologue=False):
     names = ["w_in", "wc", "bc", "wg", "bg", "lam", "w_out", "ln1_s", "ln1_b"]
     if use_ffn:
         names += ["w1", "b1", "w2", "b2", "ln2_s", "ln2_b"]
-    return {n: r[:].astype(jnp.float32) for n, r in zip(names, refs)}
+    if prologue:
+        names += ["pl_s", "pl_b"]
+    return names
 
 
-def _fwd_kernel(seed_ref, x_ref, *refs, use_conv, use_ffn, keep_prob, mm_bf16):
+def _params_from_refs(refs, use_ffn, prologue=False):
+    return {
+        n: r[:].astype(jnp.float32)
+        for n, r in zip(_param_names(use_ffn, prologue), refs)
+    }
+
+
+def _fwd_kernel(seed_ref, x_ref, *refs, use_conv, use_ffn, keep_prob, mm_bf16,
+                prologue=False):
     out_ref = refs[-1]
     param_refs = refs[:-1]
     if keep_prob < 1.0:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     x = x_ref[:].astype(jnp.float32)
-    p = _params_from_refs(param_refs, use_ffn)
+    p = _params_from_refs(param_refs, use_ffn, prologue)
+    if prologue:
+        # embedding prologue fused in: dropout THEN LayerNorm
+        # (reference RecBLR.py:76-78); this mask is the FIRST PRNG draw
+        if keep_prob < 1.0:
+            x = x * _dropout_mask(x.shape, keep_prob)
+        x, _, _ = _ln_fwd(x, p["pl_s"], p["pl_b"])
     res = _layer_fwd_core(
         x, p, use_conv=use_conv, use_ffn=use_ffn,
         keep_prob=keep_prob, seeded=True, mm_bf16=mm_bf16,
@@ -200,9 +216,10 @@ def _fwd_kernel(seed_ref, x_ref, *refs, use_conv, use_ffn, keep_prob, mm_bf16):
 
 
 def _bwd_kernel(
-    seed_ref, x_ref, dout_ref, *refs, use_conv, use_ffn, keep_prob, mm_bf16
+    seed_ref, x_ref, dout_ref, *refs, use_conv, use_ffn, keep_prob, mm_bf16,
+    prologue=False
 ):
-    n_params = 15 if use_ffn else 9
+    n_params = (15 if use_ffn else 9) + (2 if prologue else 0)
     param_refs = refs[:n_params]
     dx_ref = refs[n_params]
     grad_refs = refs[n_params + 1 :]
@@ -213,7 +230,15 @@ def _bwd_kernel(
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     x = x_ref[:].astype(jnp.float32)
     dout = dout_ref[:].astype(jnp.float32)
-    p = _params_from_refs(param_refs, use_ffn)
+    p = _params_from_refs(param_refs, use_ffn, prologue)
+    if prologue:
+        if keep_prob < 1.0:
+            m0 = _dropout_mask(x.shape, keep_prob)
+            xd = x * m0
+        else:
+            m0 = None
+            xd = x
+        x, vhat0, inv0 = _ln_fwd(xd, p["pl_s"], p["pl_b"])
     bt, t, d = x.shape
 
     # --- recompute forward, regenerating identical dropout masks -------
@@ -333,11 +358,12 @@ def _bwd_kernel(
     grads["w_in"] = _mmT(x2, dxz)
     dx = dx + _mm(dxz, p["w_in"].T).reshape(bt, t, d)
 
+    if prologue:
+        dv0, grads["pl_s"], grads["pl_b"] = _ln_bwd(dx, vhat0, inv0, p["pl_s"])
+        dx = dv0 * m0 if m0 is not None else dv0
     dx_ref[:] = dx.astype(dx_ref.dtype)
 
-    names = ["w_in", "wc", "bc", "wg", "bg", "lam", "w_out", "ln1_s", "ln1_b"]
-    if use_ffn:
-        names += ["w1", "b1", "w2", "b2", "ln2_s", "ln2_b"]
+    names = _param_names(use_ffn, prologue)
 
     @pl.when(first)
     def _():
@@ -379,22 +405,23 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 
 @functools.partial(
     jax.jit,
-    static_argnames=("use_conv", "use_ffn", "dropout_p", "mm_bf16", "block_rows"),
+    static_argnames=("use_conv", "use_ffn", "dropout_p", "mm_bf16", "block_rows",
+                     "prologue"),
 )
 def _layer_fwd(x, seed, params, use_conv, use_ffn, dropout_p, mm_bf16=False,
-               block_rows=0):
+               block_rows=0, prologue=False):
     b, t, d = x.shape
     bt = block_rows or _block_rows(t, _FWD_BUDGET)
     xp = _pad_to(x, 0, bt, 0.0)
     bp = xp.shape[0]
     block = pl.BlockSpec((bt, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    names = _PARAM_NAMES if use_ffn else _PARAM_NAMES[:9]
+    names = _param_names(use_ffn, prologue)
     plist = [params[n] for n in names]
     out = pl.pallas_call(
         functools.partial(
             _fwd_kernel,
             use_conv=use_conv, use_ffn=use_ffn, keep_prob=1.0 - dropout_p,
-            mm_bf16=mm_bf16,
+            mm_bf16=mm_bf16, prologue=prologue,
         ),
         out_shape=jax.ShapeDtypeStruct((bp, t, d), x.dtype),
         grid=(bp // bt,),
@@ -412,23 +439,24 @@ def _layer_fwd(x, seed, params, use_conv, use_ffn, dropout_p, mm_bf16=False,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("use_conv", "use_ffn", "dropout_p", "mm_bf16", "block_rows"),
+    static_argnames=("use_conv", "use_ffn", "dropout_p", "mm_bf16", "block_rows",
+                     "prologue"),
 )
 def _layer_bwd(x, dout, seed, params, use_conv, use_ffn, dropout_p, mm_bf16=False,
-               block_rows=0):
+               block_rows=0, prologue=False):
     b, t, d = x.shape
     bt = block_rows or _block_rows(t, _BWD_BUDGET, _BWD_CAP)
     xp = _pad_to(x, 0, bt, 0.0)
     dp = _pad_to(dout, 0, bt, 0.0)
     bp = xp.shape[0]
     block = pl.BlockSpec((bt, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    names = _PARAM_NAMES if use_ffn else _PARAM_NAMES[:9]
+    names = _param_names(use_ffn, prologue)
     plist = [params[n] for n in names]
     outs = pl.pallas_call(
         functools.partial(
             _bwd_kernel,
             use_conv=use_conv, use_ffn=use_ffn, keep_prob=1.0 - dropout_p,
-            mm_bf16=mm_bf16,
+            mm_bf16=mm_bf16, prologue=prologue,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bp, t, d), x.dtype),
@@ -453,9 +481,9 @@ def _layer_bwd(x, dout, seed, params, use_conv, use_ffn, dropout_p, mm_bf16=Fals
     return dx, dparams
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def fused_recurrent_layer(x, seed, params, use_conv, use_ffn, dropout_p,
-                          mm_bf16=False):
+                          mm_bf16=False, prologue=False):
     """Complete RecurrentLayer as one Pallas kernel.
 
     x: [B, T, D] block input; seed: int32[1] per-step dropout seed;
@@ -463,20 +491,26 @@ def fused_recurrent_layer(x, seed, params, use_conv, use_ffn, dropout_p,
     lam [C], w_out [C,D], ln1_s/ln1_b [D], and (if use_ffn) w1 [D,4D],
     b1 [4D], w2 [4D,D], b2 [D], ln2_s/ln2_b [D].  All params fp32.
     Static flags: use_conv, use_ffn, dropout_p (0.0 disables PRNG),
-    mm_bf16 (bf16 matmul operands / fp32 accumulate; scan+LN stay fp32).
+    mm_bf16 (bf16 matmul operands / fp32 accumulate; scan+LN stay fp32),
+    prologue (fold the model's embedding dropout+LN prologue, reference
+    RecBLR.py:76-78, into this kernel — params then also carry
+    pl_s/pl_b [D] and x is the raw embedding block).
     """
-    return _layer_fwd(x, seed, params, use_conv, use_ffn, dropout_p, mm_bf16)
+    return _layer_fwd(x, seed, params, use_conv, use_ffn, dropout_p, mm_bf16,
+                      prologue=prologue)
 
 
-def _vjp_fwd(x, seed, params, use_conv, use_ffn, dropout_p, mm_bf16):
-    out = _layer_fwd(x, seed, params, use_conv, use_ffn, dropout_p, mm_bf16)
+def _vjp_fwd(x, seed, params, use_conv, use_ffn, dropout_p, mm_bf16, prologue):
+    out = _layer_fwd(x, seed, params, use_conv, use_ffn, dropout_p, mm_bf16,
+                     prologue=prologue)
     return out, (x, seed, params)
 
 
-def _vjp_bwd(use_conv, use_ffn, dropout_p, mm_bf16, res, dout):
+def _vjp_bwd(use_conv, use_ffn, dropout_p, mm_bf16, prologue, res, dout):
     x, seed, params = res
     dx, dparams = _layer_bwd(
-        x, dout, seed, params, use_conv, use_ffn, dropout_p, mm_bf16
+        x, dout, seed, params, use_conv, use_ffn, dropout_p, mm_bf16,
+        prologue=prologue,
     )
     return dx, None, dparams
 

@@ -406,3 +406,66 @@ def test_fused_layer_last_dropout_replay_across_blocks():
     minus = np.asarray(x).copy(); minus[idx] -= eps
     num = (loss(jnp.asarray(plus)) - loss(jnp.asarray(minus))) / (2 * eps)
     np.testing.assert_allclose(np.asarray(g)[idx], float(num), rtol=5e-2, atol=2e-3)
+
+
+def test_fused_layer_prologue_forward_and_vjp():
+    """prologue=True folds dropout->LN before the layer; at p=0 it must
+    equal LN then the layer, with grads for pl_s/pl_b."""
+    from datamining_recblr_tpu.ops.fused_layer import fused_recurrent_layer
+
+    rng = np.random.default_rng(71)
+    p = _params(rng)
+    p["pl_s"] = jnp.asarray(1.0 + 0.1 * rng.standard_normal(D).astype(np.float32))
+    p["pl_b"] = jnp.asarray(0.1 * rng.standard_normal(D).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((5, 12, D)).astype(np.float32))
+    seed = jnp.zeros((1,), jnp.int32)
+    cot = jnp.asarray(rng.standard_normal((5, 12, D)).astype(np.float32))
+
+    def ref(x_, p_):
+        xn = _ln_ref(x_, p_["pl_s"], p_["pl_b"])
+        core = {k: v for k, v in p_.items() if not k.startswith("pl_")}
+        return _unfused(xn, core)
+
+    got = fused_recurrent_layer(x, seed, p, True, True, 0.0, False, True)
+    want = ref(x, p)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
+
+    _, vjp_f = jax.vjp(
+        lambda x_, p_: fused_recurrent_layer(x_, seed, p_, True, True, 0.0, False, True),
+        x, p,
+    )
+    dx_f, dp_f = vjp_f(cot)
+    _, vjp_u = jax.vjp(ref, x, p)
+    dx_u, dp_u = vjp_u(cot)
+    np.testing.assert_allclose(np.asarray(dx_f), np.asarray(dx_u), rtol=5e-4, atol=5e-5)
+    for k in dp_u:
+        np.testing.assert_allclose(
+            np.asarray(dp_f[k]), np.asarray(dp_u[k]), rtol=5e-4, atol=6e-5,
+            err_msg=k,
+        )
+
+
+def test_fused_layer_prologue_dropout_replay():
+    """FD through the fused prologue's dropout path (multi-block)."""
+    from datamining_recblr_tpu.ops.fused_layer import fused_recurrent_layer
+
+    rng = np.random.default_rng(72)
+    p = _params(rng, use_ffn=False)
+    p = {k: v for k, v in p.items() if not k.startswith(("w1", "b1", "w2", "b2", "ln2"))}
+    p["pl_s"] = jnp.ones((D,), jnp.float32)
+    p["pl_b"] = jnp.zeros((D,), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 6, D)).astype(np.float32))
+    seed = jnp.asarray([9], jnp.int32)
+
+    def loss(x_):
+        return jnp.sum(
+            jnp.sin(fused_recurrent_layer(x_, seed, p, True, False, 0.4, False, True))
+        )
+
+    g = jax.grad(loss)(x)
+    eps = 1e-3
+    for idx in [(0, 5, 3), (1, 4, 10)]:
+        plus = np.asarray(x).copy(); plus[idx] += eps
+        minus = np.asarray(x).copy(); minus[idx] -= eps
+        num = (loss(jnp.asarray(plus)) - loss(jnp.asarray(minus))) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(g)[idx], float(num), rtol=5e-2, atol=2e-3)
