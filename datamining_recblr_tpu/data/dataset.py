@@ -261,8 +261,15 @@ def build_dataset(config) -> SeqData:
 
             if native.available():
                 return native.build_dataset_from_file(path, **kwargs)
-        except Exception:
-            pass  # fall back to the Python builder
+        except Exception as e:
+            # The Python builder is bit-identical, but silently switching
+            # would hide a broken native build — make the fallback loud.
+            import logging
+
+            logging.getLogger("datamining_recblr_tpu").warning(
+                "native loader failed (%s: %s); falling back to the Python"
+                " builder", type(e).__name__, e,
+            )
     load_col = config["load_col"] or {}
     df = read_atomic_file(path, columns=load_col.get("inter"))
     return build_from_dataframe(df, **kwargs)

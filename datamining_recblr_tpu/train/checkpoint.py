@@ -31,7 +31,13 @@ def save_checkpoint(path: str, state: dict) -> str:
         ckptr.save(ocp_path, _to_host(state), force=True)
         ckptr.wait_until_finished()
         return ocp_path
-    except Exception:
+    except Exception as e:
+        import logging
+
+        logging.getLogger("datamining_recblr_tpu").warning(
+            "orbax checkpointing failed (%s: %s); writing pickle fallback"
+            " to %s.pkl", type(e).__name__, e, path,
+        )
         with open(path + ".pkl", "wb") as f:
             pickle.dump(_to_host(state), f)
         return path + ".pkl"

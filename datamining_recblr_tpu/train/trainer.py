@@ -168,7 +168,7 @@ class Trainer:
             self.evaluator.set_item_popularity(data.item_popularity())
         n = len(train)
         steps_per_epoch = batch_count(n, self.batch_size)
-        host_rng = np.random.default_rng(int(self.config["seed"]) + self.start_epoch)
+        seed = int(self.config["seed"])
         use_bpr = self.model.loss_type == "BPR"
 
         if self.mesh is None:
@@ -187,6 +187,10 @@ class Trainer:
         cur_step = 0
         for epoch in range(self.start_epoch, self.epochs):
             t0 = time.time()
+            # per-epoch generator keyed on (seed, epoch): a resumed run
+            # draws the same permutations/negatives as the uninterrupted
+            # run — trajectory-deterministic resume
+            host_rng = np.random.default_rng((seed, epoch))
             perm = host_rng.permutation(n)
             profiling = self.profile_dir and epoch == self.start_epoch + 1
             if profiling:

@@ -74,3 +74,52 @@ def test_build_dataset_uses_native(tmp_path):
     d_python = build_dataset(cfg)
     np.testing.assert_array_equal(d_native.train.item_seq, d_python.train.item_seq)
     assert d_native.summary() == d_python.summary()
+
+
+def test_native_build_nullptr_raises(tmp_path, monkeypatch):
+    """rb_build returning nullptr must surface a Python error, not a
+    silent pandas switch (native/rec_data.cc rb_build error paths)."""
+    path = str(tmp_path / "toy3" / "toy3.inter")
+    write_synthetic_inter(path, n_users=20, n_items=10, seed=5)
+
+    class NullBuildLib:
+        def __init__(self, real):
+            self._real = real
+
+        def rb_build(self, *a):
+            return None  # simulate fopen/fread failure
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+    real = native._load()
+    monkeypatch.setattr(native, "_LIB", NullBuildLib(real))
+    with pytest.raises(RuntimeError, match="native build failed"):
+        native.build_dataset_from_file(path, max_seq_len=8)
+
+
+def test_build_dataset_warns_on_native_failure(tmp_path, monkeypatch, caplog):
+    import logging
+
+    from datamining_recblr_tpu.config import Config
+    from datamining_recblr_tpu.data.dataset import build_dataset
+
+    path = str(tmp_path / "toy4" / "toy4.inter")
+    write_synthetic_inter(path, n_users=40, n_items=25, seed=7)
+    cfg = Config(
+        model="RecBLR",
+        config_dict={
+            "dataset": "toy4",
+            "data_path": str(tmp_path),
+            "MAX_ITEM_LIST_LENGTH": 10,
+        },
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("native build failed for test")
+
+    monkeypatch.setattr(native, "build_dataset_from_file", boom)
+    with caplog.at_level(logging.WARNING, logger="datamining_recblr_tpu"):
+        data = build_dataset(cfg)
+    assert data.n_users > 1  # Python fallback still built the dataset
+    assert any("native loader failed" in r.message for r in caplog.records)

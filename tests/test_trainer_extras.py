@@ -86,6 +86,65 @@ def test_resume_continues_training(synth_data, tmp_path):
     assert min(epochs_run) == t2.start_epoch
 
 
+def test_resume_trajectory_matches_uninterrupted(synth_data, tmp_path):
+    """A resumed run must replay the exact loss trajectory of the
+    uninterrupted run: per-epoch permutations derive from (seed, epoch),
+    not from a generator seeded at fit() entry."""
+
+    def losses(trainer):
+        return {
+            r["epoch"]: np.float32(r["train_loss"])
+            for r in trainer.metrics.epoch_records()
+        }
+
+    cfg_a = _cfg(tmp_path, epochs=4)
+    model_a = get_model("RecBLR")(cfg_a, synth_data.n_items, synth_data.max_seq_len)
+    ta = Trainer(cfg_a, model_a)
+    ta.fit(synth_data, checkpoint_path=str(tmp_path / "saved" / "full"))
+    full = losses(ta)
+
+    cfg_b = _cfg(tmp_path, epochs=2)
+    model_b = get_model("RecBLR")(cfg_b, synth_data.n_items, synth_data.max_seq_len)
+    tb = Trainer(cfg_b, model_b)
+    tb.fit(synth_data, checkpoint_path=str(tmp_path / "saved" / "part"))
+    part = losses(tb)
+    # identical prefix before the interruption
+    for e in part:
+        assert part[e] == full[e], f"epoch {e} diverged before resume"
+
+    cfg_c = _cfg(tmp_path, epochs=4)
+    model_c = get_model("RecBLR")(cfg_c, synth_data.n_items, synth_data.max_seq_len)
+    tc = Trainer(cfg_c, model_c)
+    tc.resume_from(tb.ckpt_path)
+    tc.fit(synth_data, checkpoint_path=str(tmp_path / "saved" / "resumed"))
+    resumed = losses(tc)
+    assert resumed, "resumed run trained no epochs"
+    for e, v in resumed.items():
+        assert v == full[e], f"epoch {e}: resumed {v} != uninterrupted {full[e]}"
+
+
+def test_checkpoint_pickle_fallback_warns(tmp_path, synth_data, monkeypatch, caplog):
+    import logging
+    import sys
+
+    from datamining_recblr_tpu.train.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    cfg = _cfg(tmp_path)
+    model = get_model("RecBLR")(cfg, synth_data.n_items, synth_data.max_seq_len)
+    trainer = Trainer(cfg, model)
+    state = trainer._checkpoint_state(1)
+    monkeypatch.setitem(sys.modules, "orbax.checkpoint", None)  # import -> error
+    with caplog.at_level(logging.WARNING, logger="datamining_recblr_tpu"):
+        path = save_checkpoint(str(tmp_path / "fb" / "ck"), state)
+    assert path.endswith(".pkl")
+    assert any("pickle fallback" in r.message for r in caplog.records)
+    back = restore_checkpoint(path)
+    assert int(back["epoch"]) == 1
+
+
 def test_checkpoint_roundtrip(tmp_path, synth_data):
     cfg = _cfg(tmp_path)
     model = get_model("RecBLR")(cfg, synth_data.n_items, synth_data.max_seq_len)
