@@ -1,11 +1,17 @@
 #!/usr/bin/env python
 """Multi-chip scaling benchmark harness.
 
-Measures training examples/s at 1..N devices over a Mesh(data, model),
-reporting scaling efficiency (BASELINE.json north star: >=80% at 2
-hosts).  On a single-chip environment it exercises the sharded path on
-virtual CPU devices (correctness/compile check, timings not meaningful);
-on a real slice it reports honest per-configuration throughput.
+Measures RecBLR training examples/s at 1..N devices over a
+Mesh(data, model) using the Trainer's device-resident input design
+(split replicated on device, per-step [B] index vector sharded over
+``data``), plus the plain single-device step as the mesh-overhead
+reference: mesh={data:1} should be ~equal to no-mesh (VERDICT r1 #3).
+
+On a single-chip environment the multi-device rows exercise the
+sharded path on virtual CPU devices (correctness/compile check,
+timings not meaningful); on a real slice every row is honest
+throughput.  Timing is differential through a fetched scalar — under
+the axon remote TPU, block_until_ready does not synchronize.
 
 Usage:
   python benchmarks/scaling.py [--batch 2048] [--steps 20] [--model-axis 2]
@@ -25,49 +31,117 @@ import jax
 import jax.numpy as jnp
 
 
-def bench_mesh(mesh_shape, batch, steps, n_items=3417, max_len=200):
+def _models(n_items=3417, max_len=200, mesh_shape=None):
     from datamining_recblr_tpu.config import Config
-    from datamining_recblr_tpu.data.synthetic import synthetic_splits
     from datamining_recblr_tpu.models import get_model
-    from datamining_recblr_tpu.parallel import make_mesh, shard_batch
-    from datamining_recblr_tpu.parallel.steps import (
-        init_sharded_state,
-        make_sharded_train_step,
-    )
     from datamining_recblr_tpu.train.optim import build_optimizer
 
-    n_dev = int(np.prod(list(mesh_shape.values())))
-    mesh = make_mesh(mesh_shape, devices=jax.devices()[:n_dev])
     cfg = Config(
         model="RecBLR",
         config_dict={
             "MAX_ITEM_LIST_LENGTH": max_len,
-            "compute_dtype": "bfloat16" if jax.default_backend() == "tpu" else "float32",
+            "compute_dtype": (
+                "bfloat16" if jax.default_backend() == "tpu" else "float32"
+            ),
             "mesh_shape": mesh_shape,
+            "use_pallas_scan": (
+                "auto" if jax.default_backend() == "tpu" else "never"
+            ),
         },
     )
     model = get_model("RecBLR")(cfg, n_items=n_items, max_seq_len=max_len)
-    optimizer = build_optimizer(cfg)
-    params, opt_state = init_sharded_state(model, optimizer, mesh, jax.random.PRNGKey(0))
-    step = make_sharded_train_step(model, optimizer, jax.random.PRNGKey(1))
+    return cfg, model, build_optimizer(cfg)
 
-    train, _ = synthetic_splits(6040, n_items, max_len, batch, seed=0)
-    sbatch = shard_batch(
-        {
-            "item_seq": jnp.asarray(train.item_seq),
-            "item_seq_len": jnp.asarray(train.item_seq_len),
-            "pos_item": jnp.asarray(train.pos_item),
-            "weight": jnp.ones((batch,), jnp.float32),
-        },
-        mesh,
-    )
-    params, opt_state, loss = step(params, opt_state, sbatch, 0)
-    loss.block_until_ready()
+
+def _resident_step(model, optimizer, data, weight, base_rng):
+    def step(params, opt_state, idx, i):
+        batch = {
+            "item_seq": data["item_seq"][idx],
+            "item_seq_len": data["item_seq_len"][idx],
+            "pos_item": data["pos_item"][idx],
+            "weight": weight,
+        }
+        rng = jax.random.fold_in(base_rng, i)
+        loss, grads = jax.value_and_grad(
+            lambda p: model.calculate_loss(p, batch, rng)
+        )(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u.astype(p.dtype), params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def _time(step, params, opt_state, make_idx, steps):
+    def run(k, off):
+        nonlocal params, opt_state
+        loss = None
+        for s in range(k):
+            params, opt_state, loss = step(params, opt_state, make_idx(off + s), s)
+        return float(loss)  # true sync (axon: block_until_ready lies)
+
+    run(3, 0)
     t0 = time.perf_counter()
-    for i in range(steps):
-        params, opt_state, loss = step(params, opt_state, sbatch, i + 1)
-    loss.block_until_ready()
-    dt = (time.perf_counter() - t0) / steps
+    run(steps, 100)
+    t_short = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run(3 * steps, 200)
+    t_long = time.perf_counter() - t0
+    return max(t_long - t_short, 1e-9) / (2 * steps)
+
+
+def _split(batch, n_items, max_len):
+    from datamining_recblr_tpu.data.synthetic import synthetic_splits
+
+    train, _ = synthetic_splits(6040, n_items, max_len, batch * 4, seed=0)
+    return {
+        "item_seq": train.item_seq,
+        "item_seq_len": train.item_seq_len,
+        "pos_item": train.pos_item,
+    }
+
+
+def bench_single(batch, steps, n_items=3417, max_len=200):
+    """Plain single-device step: the mesh-overhead reference."""
+    cfg, model, optimizer = _models(n_items, max_len)
+    params = model.init_params(jax.random.PRNGKey(0))
+    opt_state = optimizer.init(params)
+    data = jax.tree.map(jnp.asarray, _split(batch, n_items, max_len))
+    weight = jnp.ones((batch,), jnp.float32)
+    step = _resident_step(model, optimizer, data, weight,
+                          jax.random.key(1, impl=cfg["prng_impl"]))
+    host = np.random.default_rng(0)
+    n = len(data["pos_item"])
+    make_idx = lambda s: jnp.asarray(host.integers(0, n, batch), jnp.int32)
+    dt = _time(step, params, opt_state, make_idx, steps)
+    return batch / dt
+
+
+def bench_mesh(mesh_shape, batch, steps, n_items=3417, max_len=200):
+    from datamining_recblr_tpu.parallel import make_mesh
+    from datamining_recblr_tpu.parallel.input import (
+        replicate_global,
+        shard_host_batch,
+    )
+    from datamining_recblr_tpu.parallel.steps import init_sharded_state
+
+    n_dev = int(np.prod(list(mesh_shape.values())))
+    mesh = make_mesh(mesh_shape, devices=jax.devices()[:n_dev])
+    cfg, model, optimizer = _models(n_items, max_len, mesh_shape)
+    model.mesh = mesh
+    params, opt_state = init_sharded_state(
+        model, optimizer, mesh, jax.random.PRNGKey(0)
+    )
+    data = replicate_global(_split(batch, n_items, max_len), mesh)
+    weight = shard_host_batch({"w": np.ones((batch,), np.float32)}, mesh)["w"]
+    step = _resident_step(model, optimizer, data, weight,
+                          jax.random.key(1, impl=cfg["prng_impl"]))
+    host = np.random.default_rng(0)
+    n = len(data["pos_item"])
+    make_idx = lambda s: shard_host_batch(
+        {"i": host.integers(0, n, batch).astype(np.int32)}, mesh
+    )["i"]
+    dt = _time(step, params, opt_state, make_idx, steps)
     return batch / dt
 
 
@@ -78,8 +152,11 @@ def main():
     ap.add_argument("--model-axis", type=int, default=1)
     args = ap.parse_args()
 
+    single = bench_single(args.batch, args.steps)
+    print(json.dumps({"devices": 1, "mesh": None,
+                      "examples_per_s": round(single, 1)}))
+
     n = len(jax.devices())
-    results = {}
     base = None
     d = 1
     while d <= n:
@@ -89,10 +166,15 @@ def main():
         eps = bench_mesh(shape, args.batch, args.steps)
         if base is None:
             base = eps
-        eff = eps / (base * d)
-        results[d] = {"mesh": shape, "examples_per_s": round(eps, 1),
-                      "scaling_efficiency": round(eff, 3)}
-        print(json.dumps({"devices": d, **results[d]}))
+        row = {
+            "devices": d,
+            "mesh": shape,
+            "examples_per_s": round(eps, 1),
+            "scaling_efficiency": round(eps / (base * d), 3),
+        }
+        if d == 1:
+            row["mesh_overhead_vs_single"] = round(single / eps - 1.0, 4)
+        print(json.dumps(row))
         d *= 2
 
 

@@ -71,6 +71,10 @@ _GENERAL_DEFAULTS: dict[str, Any] = {
 
     "use_pallas_scan": "auto",    # auto | always | never
     "mesh_shape": None,           # e.g. {"data": 4, "model": 2}; None = single device
+    "mesh_input": "resident",     # resident: split replicated on device, index
+                                  # vectors per step | stream: host batches per step
+    "multihost": False,           # call jax.distributed.initialize at driver start
+    "multihost_args": None,       # kwargs for jax.distributed.initialize
     "metrics_file": None,         # JSONL structured metrics sink
     "mask_history": False,        # RecBole sequential full-sort eval does NOT
                                   # mask training history (only PAD item 0)

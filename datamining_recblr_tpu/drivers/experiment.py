@@ -30,6 +30,14 @@ def run_experiment(
     plot_dir: str = "plot",
     make_plots: bool = True,
 ) -> dict:
+    if config.get("multihost"):
+        # must run before the first backend touch: registers this
+        # process's devices into the global (cross-host) device set so
+        # mesh_shape can span processes (SURVEY §7 step 7)
+        from datamining_recblr_tpu.parallel.mesh import multihost_initialize
+
+        multihost_initialize(**(config.get("multihost_args") or {}))
+
     log_file = None
     if config.get("log_dir"):
         # per-run log file, like the reference's log/<Model>/<run>.log

@@ -69,21 +69,33 @@ class Evaluator:
                 f" mesh axis ({data_size})"
             )
 
-        @jax.jit
+        # under a mesh the metric accumulators come back replicated so
+        # the host-side running sums never hold partial per-shard values
+        # (parallel/steps.py make_sharded_eval_step design)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            jit = lambda f: jax.jit(  # noqa: E731
+                f, out_shardings=NamedSharding(mesh, PartitionSpec())
+            )
+        else:
+            jit = jax.jit
+
+        @jit
         def _eval_step(params, item_seq, item_seq_len, pos_item, weight):
             scores = self.model.full_sort_scores(params, item_seq, item_seq_len)
             scores = mask_scores(scores)
             ranks = target_ranks(scores, pos_item)
             return rank_metrics(ranks, self.metrics, self.topk, weight)
 
-        @jax.jit
+        @jit
         def _eval_step_hist(params, item_seq, item_seq_len, pos_item, weight, history):
             scores = self.model.full_sort_scores(params, item_seq, item_seq_len)
             scores = mask_scores(scores, history=history)
             ranks = target_ranks(scores, pos_item)
             return rank_metrics(ranks, self.metrics, self.topk, weight)
 
-        @jax.jit
+        @jit
         def _eval_step_sampled(params, item_seq, item_seq_len, candidates, weight):
             """candidates: [B, 1+N] item ids with the target at index 0;
             rank computed among the candidate set (ties favor the
@@ -152,12 +164,24 @@ class Evaluator:
                     else:
                         neg[coll] = neg_rng.integers(1, self.model.n_items, n_coll)
                 cands = np.concatenate([batch["pos_item"][:, None], neg], axis=1)
+                sampled_in = {
+                    "item_seq": batch["item_seq"],
+                    "item_seq_len": batch["item_seq_len"],
+                    "cands": cands,
+                    "weight": batch["weight"],
+                }
+                if self.mesh is not None:
+                    from datamining_recblr_tpu.parallel.sharding import shard_batch
+
+                    sampled_in = shard_batch(sampled_in, self.mesh)
+                else:
+                    sampled_in = jax.tree.map(jnp.asarray, sampled_in)
                 acc = self._eval_step_sampled(
                     params,
-                    jnp.asarray(batch["item_seq"]),
-                    jnp.asarray(batch["item_seq_len"]),
-                    jnp.asarray(cands),
-                    jnp.asarray(batch["weight"]),
+                    sampled_in["item_seq"],
+                    sampled_in["item_seq_len"],
+                    sampled_in["cands"],
+                    sampled_in["weight"],
                 )
                 for key, (sv, wv) in acc.items():
                     cur = sums.get(key)

@@ -97,16 +97,21 @@ class SequentialModel:
         idx = jnp.arange(logits.shape[-1])[None, :]
         return jnp.where(idx < self.n_items, logits, value)
 
-    def _use_fused_ce(self, v, d):
+    def _use_fused_ce(self, v, d, rows):
         """Fused softmax-CE kernel gate: single-device TPU only (under
-        a mesh the XLA CE partitions vocab-wise via GSPMD) and the
-        [V, D] table must fit VMEM (ops/fused_ce.py)."""
+        a mesh the XLA CE partitions vocab-wise via GSPMD), the [V, D]
+        table must fit VMEM, and the loss must have enough rows —
+        measured on v5e (benchmarks/ce_ab.py, B=2048 T=200 V=3417):
+        at 2048 rows XLA CE wins (RecBLR 160.5k vs 154.5k ex/s, SASRec
+        143.6k vs 137.3k), at 81,920 cloze rows the streaming kernel
+        wins big (BERT4Rec 111.3k vs 86.0k)."""
         from datamining_recblr_tpu.ops import fused_ce
 
         return (
             jax.default_backend() == "tpu"
             and self.mesh is None
             and fused_ce.supports(v, d)
+            and rows >= fused_ce.MIN_ROWS
         )
 
     def full_sort_scores(self, params, item_seq, item_seq_len):
@@ -133,7 +138,7 @@ class SequentialModel:
             neg = self.item_scores(params, seq_output, batch["neg_item"])
             return bpr_loss(pos, neg, weights)
         table = params["item_embedding"]
-        if self._use_fused_ce(*table.shape):
+        if self._use_fused_ce(*table.shape, rows=seq_output.shape[0]):
             from datamining_recblr_tpu.ops.fused_ce import fused_softmax_ce
 
             nll = fused_softmax_ce(

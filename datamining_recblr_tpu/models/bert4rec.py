@@ -198,7 +198,7 @@ class BERT4Rec(SequentialModel):
             return jnp.sum(loss * w) / denom
 
         h = sel_out.shape[-1]
-        if self._use_fused_ce(self.n_items, h):
+        if self._use_fused_ce(self.n_items, h, rows=b * mask_len):
             from datamining_recblr_tpu.ops.fused_ce import fused_softmax_ce
 
             nll = fused_softmax_ce(

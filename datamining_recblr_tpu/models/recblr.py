@@ -122,6 +122,7 @@ class RecBLR(SequentialModel):
         use_fused = (
             self.scan_impl != "xla"
             and self.inner_hidden <= 128
+            and self._seq_shards() == 1
             and (self.scan_impl == "pallas" or jax.default_backend() == "tpu")
         )
         if use_fused:
@@ -157,7 +158,21 @@ class RecBLR(SequentialModel):
             # beta = sqrt(1 - alpha^2 + 1e-8) * sigmoid(inp)  (RecBLR.py:196-199)
             alpha = jnp.exp(-jax.nn.softplus(p["Lambda"]) * jax.nn.sigmoid(rec))
             beta = jnp.sqrt(1.0 - jnp.square(alpha) + 1e-8) * jax.nn.sigmoid(inp)
-            h = linear_scan(alpha, beta * xb32, impl=self.scan_impl)
+            if self._seq_shards() > 1:
+                # sequence parallelism: the recurrence crosses device
+                # boundaries via the carry combine in seq_parallel_scan;
+                # gate math per chunk is unchanged (RecBLR.py:196-200)
+                from datamining_recblr_tpu.ops.seq_parallel_scan import (
+                    seq_parallel_scan,
+                )
+
+                batch_axis = "data" if "data" in self.mesh.shape else None
+                h = seq_parallel_scan(
+                    alpha, beta * xb32, self.mesh, "seq",
+                    batch_axis=batch_axis, impl=self.scan_impl,
+                )
+            else:
+                h = linear_scan(alpha, beta * xb32, impl=self.scan_impl)
             h = h.astype(x.dtype)
 
         if lens is not None:
@@ -196,8 +211,15 @@ class RecBLR(SequentialModel):
             and self.hidden_size <= 128
             and self.inner_hidden <= 128
             and self.max_seq_len <= 512
+            and self._seq_shards() == 1
             and (self.scan_impl == "pallas" or jax.default_backend() == "tpu")
         )
+
+    def _seq_shards(self):
+        """Size of the mesh ``seq`` axis (sequence parallelism): >1
+        shards the time axis across devices and dispatches the
+        recurrence through ops/seq_parallel_scan."""
+        return self.mesh.shape.get("seq", 1) if self.mesh is not None else 1
 
     @staticmethod
     def _flat_layer_params(layer, use_ffn):

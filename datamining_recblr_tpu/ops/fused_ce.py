@@ -51,6 +51,14 @@ def _block_n(v: int) -> int:
     return max(8, min(512, (bn // 8) * 8))
 
 
+# Below this many loss rows, XLA's materialized [rows, V] CE beats the
+# streaming kernel (it fuses CE into the surrounding train step); the
+# kernel's ~7 elementwise passes only pay off once the logits block is
+# large.  Measured crossover on v5e: 2048 rows lose, 81,920 win
+# (benchmarks/ce_ab.py, 2026-08-20).
+MIN_ROWS = 8192
+
+
 def supports(v: int, d: int) -> bool:
     return v * d * 4 <= 32 * 1024 * 1024 and d <= 512
 

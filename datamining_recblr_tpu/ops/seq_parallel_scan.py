@@ -28,12 +28,17 @@ from jax.sharding import PartitionSpec as P
 from datamining_recblr_tpu.ops.scan import linear_scan
 
 
-def seq_parallel_scan(gates, tokens, mesh, seq_axis: str, impl: str = "auto"):
+def seq_parallel_scan(
+    gates, tokens, mesh, seq_axis: str, batch_axis: str | None = None,
+    impl: str = "auto",
+):
     """h[:, t] = gates[:, t] * h[:, t-1] + tokens[:, t], with the time
     axis (axis 1) sharded over ``seq_axis`` of ``mesh``.
 
     gates/tokens: [B, T, C]; T must divide the ``seq_axis`` size.
-    Returns [B, T, C] sharded the same way.
+    ``batch_axis`` additionally shards the batch axis (data parallelism
+    composed with sequence parallelism — each (data, seq) device scans
+    its rows' chunk).  Returns [B, T, C] sharded the same way.
     """
     n_dev = mesh.shape[seq_axis]
     if gates.shape[1] % n_dev:
@@ -41,11 +46,13 @@ def seq_parallel_scan(gates, tokens, mesh, seq_axis: str, impl: str = "auto"):
             f"T={gates.shape[1]} must divide seq axis size {n_dev}"
         )
 
+    spec = P(batch_axis, seq_axis, None)
+
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(None, seq_axis, None), P(None, seq_axis, None)),
-        out_specs=P(None, seq_axis, None),
+        in_specs=(spec, spec),
+        out_specs=spec,
         check_vma=False,
     )
     def _scan(g, x):

@@ -18,6 +18,7 @@ from jax.sharding import Mesh
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SEQ_AXIS = "seq"  # sequence (time) parallelism for long-context RecBLR
 
 
 def make_mesh(shape: dict[str, int] | None = None, devices=None) -> Mesh:

@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from datamining_recblr_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from datamining_recblr_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, SEQ_AXIS
 
 _ROW_SHARDED = {"item_embedding"}
 _VOCAB_SHARDED = {"output_bias"}
@@ -31,9 +31,12 @@ def param_pspecs(params, mesh: Mesh | None = None) -> dict:
 
     def divisible(leaf):
         dim = getattr(leaf, "shape", (0,))[0] if hasattr(leaf, "shape") else 0
-        return model_size <= 1 or (dim and dim % model_size == 0)
+        return dim and dim % model_size == 0
 
     def spec_for(path, leaf):
+        # meshes without a model axis (e.g. data x seq) replicate params
+        if model_size <= 1:
+            return P()
         names = {getattr(p, "key", getattr(p, "name", None)) for p in path}
         if names & _ROW_SHARDED and divisible(leaf):
             return P(MODEL_AXIS, None)
@@ -44,8 +47,20 @@ def param_pspecs(params, mesh: Mesh | None = None) -> dict:
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
-def batch_pspec(batch) -> dict:
-    return jax.tree.map(lambda _: P(DATA_AXIS), batch)
+def _batch_spec(x, mesh: Mesh | None) -> P:
+    """[B, T] sequence tensors additionally shard T over ``seq`` when
+    the mesh has that axis (long-context sequence parallelism)."""
+    if (
+        mesh is not None
+        and mesh.shape.get(SEQ_AXIS, 1) > 1
+        and getattr(x, "ndim", 1) == 2
+    ):
+        return P(DATA_AXIS, SEQ_AXIS)
+    return P(DATA_AXIS)
+
+
+def batch_pspec(batch, mesh: Mesh | None = None) -> dict:
+    return jax.tree.map(lambda x: _batch_spec(x, mesh), batch)
 
 
 def shard_params(params, mesh: Mesh):
@@ -57,7 +72,8 @@ def shard_params(params, mesh: Mesh):
 
 def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS))), batch
+        lambda x: jax.device_put(x, NamedSharding(mesh, _batch_spec(x, mesh))),
+        batch,
     )
 
 

@@ -97,6 +97,10 @@ class Trainer:
             )
 
         def train_step(params, opt_state, data, idx, weight, neg, step):
+            # device-resident split: gather batch rows on device from the
+            # index vector.  Under a mesh the split is replicated and idx
+            # arrives data-sharded, so the gather is shard-local (no
+            # collectives) and the batch comes out data-sharded.
             batch = {
                 "item_seq": data["item_seq"][idx],
                 "item_seq_len": data["item_seq_len"][idx],
@@ -171,12 +175,24 @@ class Trainer:
         seed = int(self.config["seed"])
         use_bpr = self.model.loss_type == "BPR"
 
+        # 'resident' (default) keeps the whole split in device memory and
+        # ships only index vectors per step; 'stream' uploads host batches
+        # every step (for splits too big to replicate in HBM — the only
+        # mesh mode in round 1, now the fallback)
+        mesh_input = str(self.config.get("mesh_input", "resident"))
+        host_data = {
+            "item_seq": train.item_seq,
+            "item_seq_len": train.item_seq_len,
+            "pos_item": train.pos_item,
+        }
         if self.mesh is None:
-            dev_data = {
-                "item_seq": jnp.asarray(train.item_seq),
-                "item_seq_len": jnp.asarray(train.item_seq_len),
-                "pos_item": jnp.asarray(train.pos_item),
-            }
+            dev_data = jax.tree.map(jnp.asarray, host_data)
+        elif mesh_input == "resident":
+            from datamining_recblr_tpu.parallel.input import replicate_global
+
+            dev_data = replicate_global(host_data, self.mesh)
+        elif mesh_input != "stream":
+            raise ValueError(f"mesh_input must be resident|stream, got {mesh_input!r}")
         if checkpoint_path is None:
             checkpoint_path = (
                 f"{self.config['checkpoint_dir']}/"
@@ -220,31 +236,56 @@ class Trainer:
                         )
                 else:
                     neg = np.zeros(1, np.int32)
-                if self.mesh is not None:
-                    from datamining_recblr_tpu.parallel.sharding import shard_batch
+                if self.mesh is not None and mesh_input == "stream":
+                    from datamining_recblr_tpu.parallel.input import (
+                        process_local_rows,
+                        shard_host_batch,
+                    )
 
+                    # every process computes the same global batch (the
+                    # rng derives from (seed, epoch)) and feeds only its
+                    # local row range — deterministic for any host count
+                    lo, hi = process_local_rows(self.batch_size, self.mesh)
                     batch = {
-                        "item_seq": train.item_seq[chunk],
-                        "item_seq_len": train.item_seq_len[chunk],
-                        "pos_item": train.pos_item[chunk],
-                        "weight": weight,
+                        "item_seq": train.item_seq[chunk[lo:hi]],
+                        "item_seq_len": train.item_seq_len[chunk[lo:hi]],
+                        "pos_item": train.pos_item[chunk[lo:hi]],
+                        "weight": weight[lo:hi],
                     }
                     if use_bpr:
-                        batch["neg_item"] = neg
+                        batch["neg_item"] = neg[lo:hi]
                     self.params, self.opt_state, loss = self._train_step_batch(
                         self.params,
                         self.opt_state,
-                        shard_batch(batch, self.mesh),
+                        shard_host_batch(batch, self.mesh),
                         global_step,
                     )
                 else:
+                    idx = np.asarray(chunk, np.int32)
+                    if self.mesh is not None:
+                        from datamining_recblr_tpu.parallel.input import (
+                            process_local_rows,
+                            shard_host_batch,
+                        )
+
+                        # only [B]-sized vectors cross host->device here;
+                        # each process feeds its local row range
+                        lo, hi = process_local_rows(self.batch_size, self.mesh)
+                        put = {"idx": idx[lo:hi], "weight": weight[lo:hi]}
+                        if use_bpr:
+                            put["neg"] = neg[lo:hi]
+                        put = shard_host_batch(put, self.mesh)
+                        idx, weight = put["idx"], put["weight"]
+                        neg = put["neg"] if use_bpr else jnp.asarray(neg)
+                    else:
+                        idx, weight, neg = map(jnp.asarray, (idx, weight, neg))
                     self.params, self.opt_state, loss = self._train_step(
                         self.params,
                         self.opt_state,
                         dev_data,
-                        jnp.asarray(chunk, dtype=jnp.int32),
-                        jnp.asarray(weight),
-                        jnp.asarray(neg),
+                        idx,
+                        weight,
+                        neg,
                         global_step,
                     )
                 losses.append(loss)

@@ -68,3 +68,37 @@ def test_mesh_trainer_trains_and_matches(synth_data, tmp_path):
     # sharded test evaluation works
     result = tr_mesh.evaluate(synth_data.test, load_best=True)
     assert 0.0 <= result["ndcg@10"] <= 1.0
+
+
+def test_mesh_stream_matches_resident(synth_data, tmp_path):
+    """'stream' (per-step host batches via shard_host_batch) and
+    'resident' (device-resident split + index gather) are two routes to
+    the same global batch — loss trajectories must match."""
+    results = {}
+    for mode in ("resident", "stream"):
+        cfg = _cfg(tmp_path, mesh_shape={"data": 4, "model": 2}, mesh_input=mode)
+        model = get_model("RecBLR")(cfg, synth_data.n_items, synth_data.max_seq_len)
+        tr = Trainer(cfg, model)
+        tr.fit(synth_data, checkpoint_path=str(tmp_path / f"ck_{mode}"))
+        results[mode] = [r["train_loss"] for r in tr.metrics.epoch_records()]
+    np.testing.assert_allclose(results["stream"], results["resident"], rtol=1e-5)
+
+
+def test_mesh_sampled_eval_matches_single(synth_data, tmp_path):
+    """uniN sampled-negative eval must produce identical metrics sharded
+    and unsharded (same negative draws: evaluator seeds its own rng)."""
+    results = {}
+    for mesh_shape in (None, {"data": 4, "model": 2}):
+        cfg = _cfg(
+            tmp_path,
+            mesh_shape=mesh_shape,
+            eval_args={"mode": "uni20"},
+        )
+        model = get_model("RecBLR")(cfg, synth_data.n_items, synth_data.max_seq_len)
+        tr = Trainer(cfg, model)  # fresh params, same seed -> same init
+        res = tr.evaluator.evaluate(tr.params, synth_data.test)
+        results["mesh" if mesh_shape else "single"] = res
+    for k in results["single"]:
+        np.testing.assert_allclose(
+            results["mesh"][k], results["single"][k], rtol=1e-5, err_msg=k
+        )
