@@ -56,6 +56,201 @@ def write_synthetic_inter(path: str, **kwargs) -> pd.DataFrame:
     return df
 
 
+def generate_stat_matched_interactions(
+    n_users: int,
+    n_items: int,
+    n_inters: int,
+    *,
+    n_clusters: int = 1000,
+    markov_weight: float = 0.15,
+    zipf_a: float = 1.0,
+    pop_offset: float = 20.0,
+    min_len: int = 5,
+    min_item_count: int = 5,
+    seed: int = 0,
+) -> pd.DataFrame:
+    """Interaction log whose *post-filter statistics exactly match* a
+    target dataset: ``n_users`` users with >= ``min_len`` interactions
+    each, ``n_items`` items with >= ``min_item_count`` occurrences each,
+    and exactly ``n_inters`` interactions in total — so the reference's
+    5-core interval filter (``config.yaml`` ``user/item_inter_num_interval
+    [5,inf)``) keeps every row and the loaded dataset reproduces the
+    reference's logged stats (e.g. amazon-beauty 18,897 / 10,544 /
+    167,588 — reference log RecBLR-amazon-beauty-Nov-23-2025_12-40-09
+    lines 109-116).
+
+    Structure: shifted-Zipf item popularity ``1/(rank+pop_offset)^zipf_a``
+    (the offset keeps the head realistic: at the amazon-beauty scale the
+    default gives the top item ~0.8% of interactions and a long tail
+    hugging the 5-core floor, like the real dataset) over items
+    scattered across ``n_clusters`` Markov clusters; each next
+    item stays within the current item's cluster with probability
+    ``markov_weight`` (popularity-weighted within the cluster), else
+    jumps popularity-weighted over the whole catalog.  ``markov_weight``
+    sets how learnable the sequential signal is — calibrated so ranking
+    metrics land in the target dataset's regime rather than a toy one.
+
+    Vectorized simulation: all users advance one step per iteration
+    (max-seq-len iterations total), sampling via per-cluster cumulative
+    popularity tables + ``searchsorted``.
+    """
+    rng = np.random.default_rng(seed)
+    if n_inters < n_users * min_len:
+        raise ValueError("n_inters < n_users*min_len: stats unsatisfiable")
+    if n_inters < n_items * min_item_count:
+        raise ValueError("n_inters < n_items*min_item_count: stats unsatisfiable")
+
+    # --- per-user lengths: min_len + gamma tail, adjusted to the exact sum
+    mean_extra = n_inters / n_users - min_len
+    lens = min_len + np.floor(
+        rng.gamma(shape=1.0, scale=max(mean_extra, 1e-9), size=n_users)
+    ).astype(np.int64)
+    diff = int(n_inters - lens.sum())
+    while diff != 0:
+        if diff > 0:
+            idx = rng.integers(0, n_users, size=diff)
+            np.add.at(lens, idx, 1)
+            diff = 0
+        else:
+            # shave from users above min_len
+            cand = np.flatnonzero(lens > min_len)
+            take = rng.choice(cand, size=min(len(cand), -diff), replace=False)
+            lens[take] -= 1
+            diff = int(n_inters - lens.sum())
+
+    # --- item popularity + clusters
+    pop = 1.0 / (np.arange(1, n_items + 1, dtype=np.float64) + pop_offset) ** zipf_a
+    clusters = rng.integers(0, n_clusters, size=n_items)
+    order = np.argsort(clusters, kind="stable")  # items grouped by cluster
+    grouped_pop = pop[order]
+    counts = np.bincount(clusters, minlength=n_clusters)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    cum = np.cumsum(grouped_pop)  # global cumsum; per-cluster slice of it
+    global_cum = cum / cum[-1]
+
+    def sample_global(k):
+        return order[np.searchsorted(global_cum, rng.random(k), side="right")]
+
+    def sample_within(cur):
+        """popularity-weighted item within each current item's cluster"""
+        c = clusters[cur]
+        lo, hi = starts[c], starts[c + 1]
+        base = np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0.0)
+        top = cum[hi - 1]
+        u = base + rng.random(cur.shape[0]) * (top - base)
+        return order[np.minimum(np.searchsorted(cum, u, side="right"), hi - 1)]
+
+    # --- vectorized Markov walk, all users in lockstep
+    max_len = int(lens.max())
+    cur = sample_global(n_users)
+    users_sorted = np.argsort(-lens, kind="stable")  # longest first: active prefix
+    lens_sorted = lens[users_sorted]
+    items_flat = np.empty(n_inters, dtype=np.int64)
+    # column-major fill: step t serves users with lens > t (a prefix of users_sorted)
+    col_offsets = np.concatenate([[0], np.cumsum(
+        np.searchsorted(-lens_sorted, -(np.arange(max_len) + 1), side="right")
+    )])
+    cur = cur[users_sorted]
+    for t in range(max_len):
+        n_active = int(np.searchsorted(-lens_sorted, -(t + 1), side="right"))
+        if n_active == 0:
+            break
+        act = cur[:n_active]
+        items_flat[col_offsets[t] : col_offsets[t] + n_active] = act
+        stay = rng.random(n_active) < markov_weight
+        nxt = np.where(stay, sample_within(act), sample_global(n_active))
+        cur[:n_active] = nxt
+
+    # --- exact-count fix-up: lift items below min_item_count by stealing
+    # occurrences from surplus items (most-popular first); only the tail
+    # of the distribution is touched, the Markov structure stays intact
+    item_counts = np.bincount(items_flat, minlength=n_items)
+    deficit = np.maximum(min_item_count - item_counts, 0)
+    need = int(deficit.sum())
+    if need:
+        surplus = np.maximum(item_counts - min_item_count, 0)
+        # positions eligible for replacement, weighted toward surplus items
+        take_per_item = np.minimum(surplus, np.maximum(
+            (surplus * (need / max(surplus.sum(), 1))).astype(np.int64), 0))
+        # greedy top-up to exactly `need`
+        short = need - int(take_per_item.sum())
+        if short > 0:
+            room = surplus - take_per_item
+            top = np.argsort(-room, kind="stable")
+            for i in top:
+                if short <= 0:
+                    break
+                grab = int(min(room[i], short))
+                take_per_item[i] += grab
+                short -= grab
+        # replace `take_per_item[i]` occurrences of each donor item
+        repl_targets = np.repeat(np.arange(n_items), deficit)
+        rng.shuffle(repl_targets)
+        order_pos = np.argsort(items_flat, kind="stable")
+        item_starts = np.concatenate([[0], np.cumsum(item_counts)])
+        sel = [
+            order_pos[item_starts[i] : item_starts[i] + take_per_item[i]]
+            for i in np.flatnonzero(take_per_item)
+        ]
+        sel = np.concatenate(sel)
+        assert sel.shape[0] == need, "fix-up failed to place all deficits"
+        items_flat[sel] = repl_targets
+
+    # --- assemble rows: user u occupies column slots (one per step while active)
+    user_ids = np.empty(n_inters, dtype=np.int64)
+    step_no = np.empty(n_inters, dtype=np.int64)
+    for t in range(max_len):
+        n_active = col_offsets[t + 1] - col_offsets[t]
+        if n_active <= 0:
+            break
+        user_ids[col_offsets[t] : col_offsets[t + 1]] = users_sorted[:n_active]
+        step_no[col_offsets[t] : col_offsets[t + 1]] = t
+    t0 = rng.integers(1_000_000, 2_000_000, size=n_users).astype(np.float64)
+    return pd.DataFrame(
+        {
+            "user_id": np.char.add("u", user_ids.astype(str)),
+            "item_id": np.char.add("i", items_flat.astype(str)),
+            "timestamp": t0[user_ids] + step_no,
+        }
+    )
+
+
+# Post-5-core-filter statistics of the reference's benchmark datasets.
+# beauty: reference log RecBLR-amazon-beauty-Nov-23-2025_12-40-09 lines
+# 109-116 (18,897 users / 10,544 items / 167,588 inters).  ml-1m: public
+# dataset card (1,000,209 inters, 6,040 users, 3,706 items) after the
+# [5,inf) item filter — ~3,416 items / ~999.6k inters (BASELINE.md
+# derivation).  markov_weight is calibrated on TPU runs so full-sort
+# ranking metrics land in each dataset's regime (see artifacts/parity/).
+STAT_PRESETS = {
+    "beauty-synth": dict(
+        n_users=18_897, n_items=10_544, n_inters=167_588,
+        n_clusters=1000, markov_weight=0.15, min_len=5,
+    ),
+    "ml1m-synth": dict(
+        n_users=6_040, n_items=3_416, n_inters=999_611,
+        n_clusters=340, markov_weight=0.35, min_len=20,
+    ),
+}
+
+
+def write_stat_matched_dataset(
+    data_path: str, name: str, seed: int = 2020, **overrides
+) -> str:
+    """Generate ``STAT_PRESETS[name]`` (with overrides) and write it to
+    ``<data_path>/<name>/<name>.inter``; returns the file path."""
+    import os
+
+    preset = dict(STAT_PRESETS[name], **overrides)
+    df = generate_stat_matched_interactions(
+        preset.pop("n_users"), preset.pop("n_items"), preset.pop("n_inters"),
+        seed=seed, **preset,
+    )
+    path = os.path.join(data_path, name, f"{name}.inter")
+    write_atomic_inter(df, path)
+    return path
+
+
 def synthetic_splits(
     n_users: int,
     n_items: int,

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Quality-parity experiment: full reference protocol on statistics-
+matched synthetic datasets.
+
+The reference's real datasets are stripped from this environment
+(/root/reference/.MISSING_LARGE_BLOBS), so the strongest attainable
+quality proxy is: generate a dataset whose *post-filter statistics
+exactly match* the reference's logged stats (users/items/interactions,
+5-core floors, popularity shape), then run the reference's exact
+training protocol (reference ``config.yaml``: Adam 1e-3, batch 2048,
+CE over the full catalog, T=200, early stop 10 on valid NDCG@10, eval
+batch 4096, topk [10,20]) end-to-end on the TPU and record full-sort
+metrics + per-epoch timings side by side with the reference's logged
+GPU numbers.  Results land in ``artifacts/parity/``.
+
+Usage:
+  python parity_exp.py --dataset beauty-synth --model R
+  python parity_exp.py --dataset ml1m-synth --model all
+  python parity_exp.py --dataset beauty-synth --model R --markov 0.12 --tag w12
+"""
+
+import argparse
+import json
+import os
+
+from datamining_recblr_tpu.config import Config
+from datamining_recblr_tpu.data.synthetic import STAT_PRESETS, write_stat_matched_dataset
+from datamining_recblr_tpu.drivers import run_experiment
+from datamining_recblr_tpu.eval.evaluator import format_result
+
+MODELS = {"R": "RecBLR", "S": "SASRec", "B": "BERT4Rec"}
+
+
+def ensure_dataset(data_path, name, markov=None, clusters=None, seed=2020):
+    path = os.path.join(data_path, name, f"{name}.inter")
+    overrides = {}
+    if markov is not None:
+        overrides["markov_weight"] = markov
+    if clusters is not None:
+        overrides["n_clusters"] = clusters
+    if overrides or not os.path.exists(path):
+        write_stat_matched_dataset(data_path, name, seed=seed, **overrides)
+    return path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default="beauty-synth", choices=sorted(STAT_PRESETS))
+    ap.add_argument("--model", default="R", help="R, S, B, or 'all'")
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--markov", type=float, default=None,
+                    help="override the preset's markov_weight (regenerates)")
+    ap.add_argument("--clusters", type=int, default=None,
+                    help="override the preset's n_clusters (regenerates)")
+    ap.add_argument("--tag", default="", help="suffix for artifact names")
+    ap.add_argument("--out", default="artifacts/parity")
+    ap.add_argument("--data_path", default="dataset")
+    args = ap.parse_args()
+
+    ensure_dataset(args.data_path, args.dataset, args.markov, args.clusters)
+    os.makedirs(args.out, exist_ok=True)
+    model_keys = list(MODELS) if args.model == "all" else [args.model]
+
+    for key in model_keys:
+        name = MODELS.get(key, key)
+        tag = f"{name}_{args.dataset}{('_' + args.tag) if args.tag else ''}"
+        overrides = {
+            "data_path": args.data_path,
+            "metrics_file": f"{args.out}/{tag}.jsonl",
+            "checkpoint_dir": "saved",
+            "log_dir": "log",
+        }
+        if args.epochs is not None:
+            overrides["epochs"] = args.epochs
+        if name != "RecBLR":
+            overrides.update(bd_lru_only=False, disable_conv1d=False,
+                             disable_ffn=False)
+        config = Config(
+            model=name, dataset=args.dataset,
+            config_file_list=["config.yaml"], config_dict=overrides,
+        )
+        result = run_experiment(config, plot_prefix=tag, plot_dir=args.out)
+        summary = {
+            "model": name,
+            "dataset": args.dataset,
+            "markov_weight": args.markov
+            or STAT_PRESETS[args.dataset]["markov_weight"],
+            "best_valid": result["best_valid_result"],
+            "test": result["test_result"],
+            "wall_time_s": round(result["wall_time"], 1),
+        }
+        with open(f"{args.out}/{tag}.summary.json", "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"[{tag}] best valid: {format_result(result['best_valid_result'])}")
+        print(f"[{tag}] test:       {format_result(result['test_result'])}")
+
+
+if __name__ == "__main__":
+    main()

@@ -126,3 +126,28 @@ def test_synthetic_generator_shapes():
     assert len(data.train) > 0 and len(data.valid) > 0 and len(data.test) > 0
     # every valid/test user appears exactly once
     assert len(set(data.test.user_id)) == len(data.test)
+
+
+def test_stat_matched_generator_exact_counts():
+    """generate_stat_matched_interactions must reproduce target dataset
+    statistics exactly, and survive the reference's 5-core filter
+    (config.yaml user/item_inter_num_interval [5,inf)) unchanged."""
+    from datamining_recblr_tpu.data.synthetic import (
+        generate_stat_matched_interactions,
+    )
+
+    n_users, n_items, n_inters = 300, 120, 2400
+    df = generate_stat_matched_interactions(
+        n_users, n_items, n_inters, n_clusters=12, seed=3
+    )
+    assert len(df) == n_inters
+    assert df["user_id"].nunique() == n_users
+    assert df["item_id"].nunique() == n_items
+    assert df.groupby("user_id").size().min() >= 5
+    assert df.groupby("item_id").size().min() >= 5
+    # the 5-core fixpoint keeps every row
+    out = kcore_filter(df, "user_id", "item_id", "[5,inf)", "[5,inf)")
+    assert len(out) == n_inters
+    # timestamps strictly increase within each user (TO split order)
+    ts = df.sort_values(["user_id", "timestamp"]).groupby("user_id")["timestamp"]
+    assert (ts.diff().dropna() > 0).all()
