@@ -65,6 +65,7 @@ def generate_stat_matched_interactions(
     markov_weight: float = 0.15,
     zipf_a: float = 1.0,
     pop_offset: float = 20.0,
+    within_cluster: str = "pop",
     min_len: int = 5,
     min_item_count: int = 5,
     seed: int = 0,
@@ -85,8 +86,12 @@ def generate_stat_matched_interactions(
     hugging the 5-core floor, like the real dataset) over items
     scattered across ``n_clusters`` Markov clusters; each next
     item stays within the current item's cluster with probability
-    ``markov_weight`` (popularity-weighted within the cluster), else
-    jumps popularity-weighted over the whole catalog.  ``markov_weight``
+    ``markov_weight`` (``within_cluster``: "pop" weights the in-cluster
+    choice by popularity — concentrated, easy-to-rank relevance, high
+    MRR relative to Hit; "uniform" spreads it evenly over the cluster —
+    diffuse relevance whose Hit/MRR ratio matches sparse feedback data;
+    "sqrt" sits between, for denser datasets like ML-1M),
+    else jumps popularity-weighted over the whole catalog.  ``markov_weight``
     sets how learnable the sequential signal is — calibrated so ranking
     metrics land in the target dataset's regime rather than a toy one.
 
@@ -127,18 +132,25 @@ def generate_stat_matched_interactions(
     starts = np.concatenate([[0], np.cumsum(counts)])
     cum = np.cumsum(grouped_pop)  # global cumsum; per-cluster slice of it
     global_cum = cum / cum[-1]
+    # sqrt-flattened popularity for the "sqrt" within-cluster mode:
+    # concentration between "pop" (head-heavy, high MRR/Hit) and
+    # "uniform" (diffuse, low MRR/Hit)
+    cum_sqrt = np.cumsum(np.sqrt(grouped_pop))
 
     def sample_global(k):
         return order[np.searchsorted(global_cum, rng.random(k), side="right")]
 
     def sample_within(cur):
-        """popularity-weighted item within each current item's cluster"""
+        """next item within each current item's cluster"""
         c = clusters[cur]
         lo, hi = starts[c], starts[c + 1]
-        base = np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0.0)
-        top = cum[hi - 1]
+        if within_cluster == "uniform":
+            return order[lo + (rng.random(cur.shape[0]) * (hi - lo)).astype(np.int64)]
+        table = cum_sqrt if within_cluster == "sqrt" else cum
+        base = np.where(lo > 0, table[np.maximum(lo - 1, 0)], 0.0)
+        top = table[hi - 1]
         u = base + rng.random(cur.shape[0]) * (top - base)
-        return order[np.minimum(np.searchsorted(cum, u, side="right"), hi - 1)]
+        return order[np.minimum(np.searchsorted(table, u, side="right"), hi - 1)]
 
     # --- vectorized Markov walk, all users in lockstep
     max_len = int(lens.max())
@@ -225,11 +237,13 @@ def generate_stat_matched_interactions(
 STAT_PRESETS = {
     "beauty-synth": dict(
         n_users=18_897, n_items=10_544, n_inters=167_588,
-        n_clusters=1000, markov_weight=0.15, min_len=5,
+        n_clusters=250, markov_weight=0.45, within_cluster="uniform",
+        min_len=5,
     ),
     "ml1m-synth": dict(
         n_users=6_040, n_items=3_416, n_inters=999_611,
-        n_clusters=340, markov_weight=0.35, min_len=20,
+        n_clusters=340, markov_weight=0.33, within_cluster="sqrt",
+        min_len=20,
     ),
 }
 

@@ -71,6 +71,27 @@ def shard_params(params, mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh):
+    """Place a *global* host batch data-sharded on the mesh.
+
+    Multi-process: every process passes the same global batch (all
+    hosts derive it from the shared seed), and each contributes only
+    its ``process_local_rows`` slice via
+    ``jax.make_array_from_process_local_data`` — the data axis is laid
+    out process-contiguously (``jax.devices()`` order), so local rows
+    land on local devices with no cross-host transfer."""
+    if jax.process_count() > 1:
+        import numpy as np
+
+        from datamining_recblr_tpu.parallel.input import process_local_rows
+
+        def put(x):
+            x = np.asarray(x)
+            lo, hi = process_local_rows(x.shape[0], mesh)
+            return jax.make_array_from_process_local_data(
+                NamedSharding(mesh, _batch_spec(x, mesh)), x[lo:hi]
+            )
+
+        return jax.tree.map(put, batch)
     return jax.tree.map(
         lambda x: jax.device_put(x, NamedSharding(mesh, _batch_spec(x, mesh))),
         batch,

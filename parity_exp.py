@@ -31,13 +31,16 @@ from datamining_recblr_tpu.eval.evaluator import format_result
 MODELS = {"R": "RecBLR", "S": "SASRec", "B": "BERT4Rec"}
 
 
-def ensure_dataset(data_path, name, markov=None, clusters=None, seed=2020):
+def ensure_dataset(data_path, name, markov=None, clusters=None, within=None,
+                   seed=2020):
     path = os.path.join(data_path, name, f"{name}.inter")
     overrides = {}
     if markov is not None:
         overrides["markov_weight"] = markov
     if clusters is not None:
         overrides["n_clusters"] = clusters
+    if within is not None:
+        overrides["within_cluster"] = within
     if overrides or not os.path.exists(path):
         write_stat_matched_dataset(data_path, name, seed=seed, **overrides)
     return path
@@ -52,12 +55,15 @@ def main():
                     help="override the preset's markov_weight (regenerates)")
     ap.add_argument("--clusters", type=int, default=None,
                     help="override the preset's n_clusters (regenerates)")
+    ap.add_argument("--within", default=None, choices=["pop", "uniform", "sqrt"],
+                    help="override the preset's within_cluster mode")
     ap.add_argument("--tag", default="", help="suffix for artifact names")
     ap.add_argument("--out", default="artifacts/parity")
     ap.add_argument("--data_path", default="dataset")
     args = ap.parse_args()
 
-    ensure_dataset(args.data_path, args.dataset, args.markov, args.clusters)
+    ensure_dataset(args.data_path, args.dataset, args.markov, args.clusters,
+                   args.within)
     os.makedirs(args.out, exist_ok=True)
     model_keys = list(MODELS) if args.model == "all" else [args.model]
 
