@@ -27,6 +27,14 @@ def init_logger(name: str = "recblr_tpu", log_file: str | None = None):
         logger.addHandler(sh)
         logger.propagate = False
     if log_file:
+        # one active per-run log file: detach any previous run's file
+        # handler (multi-experiment drivers like full_exp/parity_exp call
+        # init_logger once per run in the same process — without this,
+        # run N's lines would duplicate into runs 1..N-1's files)
+        for h in [h for h in logger.handlers if isinstance(h, logging.FileHandler)]:
+            if getattr(h, "baseFilename", None) != os.path.abspath(log_file):
+                logger.removeHandler(h)
+                h.close()
         have = {
             getattr(h, "baseFilename", None)
             for h in logger.handlers

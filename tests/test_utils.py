@@ -85,3 +85,17 @@ def test_trainer_profile_dir(tmp_path):
         for root, _, files in os.walk(tmp_path / "prof")
         for f in files
     )
+
+
+def test_init_logger_one_file_per_run(tmp_path):
+    """Multi-experiment drivers call init_logger once per run in one
+    process; run N's lines must not leak into run N-1's file."""
+    from datamining_recblr_tpu.utils.logging import init_logger
+
+    f1, f2 = str(tmp_path / "a.log"), str(tmp_path / "b.log")
+    log = init_logger(log_file=f1)
+    log.info("first-run line")
+    log = init_logger(log_file=f2)
+    log.info("second-run line")
+    assert "second-run line" not in open(f1).read()
+    assert "second-run line" in open(f2).read()
