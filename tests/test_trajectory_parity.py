@@ -192,6 +192,98 @@ def test_loss_trajectory_matches_torch_oracle():
     )
 
 
+def _t_sasrec_forward(tp, seq, lens, model):
+    """SASRec oracle in torch: emb + positional emb -> LN -> causal
+    post-LN transformer (additive -10000 mask, RecBole
+    get_attention_mask semantics; reference sasrec.py:95-114) -> last
+    position.  GELU uses the tanh approximation to match the repo's
+    jax.nn.gelu (documented deviation from RecBole's erf GELU, <1e-3 —
+    ops/fused_block.py docstring)."""
+    b, t = seq.shape
+    x = tp["item_embedding"][seq] + tp["position_embedding"][:t]
+    x = _t_ln(x, tp["input_ln"]["scale"], tp["input_ln"]["bias"])
+    pad = (seq != 0)[:, None, None, :]
+    causal = torch.tril(torch.ones(t, t, dtype=torch.bool))[None, None]
+    mask = torch.where(pad & causal, 0.0, -10000.0)
+    n_heads = model.n_heads
+    dh = model.hidden_size // n_heads
+
+    def dense(p, v):
+        return v @ p["w"] + p["b"]
+
+    def heads(v):
+        return v.reshape(b, t, n_heads, dh).permute(0, 2, 1, 3)
+
+    for p in tp["encoder"]:
+        q, k, v = heads(dense(p["q"], x)), heads(dense(p["k"], x)), heads(dense(p["v"], x))
+        scores = q @ k.transpose(-1, -2) / (dh ** 0.5) + mask
+        ctx = torch.softmax(scores, dim=-1) @ v
+        ctx = ctx.permute(0, 2, 1, 3).reshape(b, t, -1)
+        x = _t_ln(dense(p["attn_out"], ctx) + x,
+                  p["attn_ln"]["scale"], p["attn_ln"]["bias"])
+        y = dense(p["ffn_2"], F.gelu(dense(p["ffn_1"], x), approximate="tanh"))
+        x = _t_ln(y + x, p["ffn_ln"]["scale"], p["ffn_ln"]["bias"])
+    idx = (lens - 1).clamp(min=0)
+    return x[torch.arange(b), idx]
+
+
+def test_sasrec_loss_trajectory_matches_torch_oracle():
+    from datamining_recblr_tpu.models.sasrec import SASRec
+
+    cfg = Config(
+        model="SASRec",
+        config_dict={
+            "hidden_size": 16,
+            "n_layers": 2,
+            "n_heads": 2,
+            "inner_size": 32,
+            "hidden_dropout_prob": 0.0,
+            "attn_dropout_prob": 0.0,
+            "MAX_ITEM_LIST_LENGTH": T,
+        },
+    )
+    model = SASRec(cfg, n_items=N_ITEMS, max_seq_len=T)
+    params = model.init_params(jax.random.PRNGKey(1))
+    tparams = _to_torch(params)
+
+    optimizer = build_optimizer(cfg)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(params, opt_state, seq, lens, pos):
+        def loss_fn(p):
+            batch = {
+                "item_seq": seq, "item_seq_len": lens, "pos_item": pos,
+                "weight": jnp.ones((B,), jnp.float32),
+            }
+            return model.calculate_loss(p, batch, None)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u.astype(p.dtype), params, updates)
+        return params, opt_state, loss
+
+    topt = torch.optim.Adam(jax.tree.leaves(tparams), lr=cfg["learning_rate"], eps=1e-8)
+    ours, oracle = [], []
+    for seq, lens, pos in _batches(10, seed=11, repeat_last=5):
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(seq), jnp.asarray(lens), jnp.asarray(pos)
+        )
+        ours.append(float(loss))
+        topt.zero_grad(set_to_none=True)
+        seq_out = _t_sasrec_forward(
+            tparams, torch.tensor(seq, dtype=torch.long),
+            torch.tensor(lens, dtype=torch.long), model,
+        )
+        logits = seq_out @ tparams["item_embedding"].T
+        tloss = F.cross_entropy(logits, torch.tensor(pos, dtype=torch.long))
+        tloss.backward()
+        topt.step()
+        oracle.append(float(tloss.detach()))
+    assert oracle[-1] < oracle[-5] - 1e-3 and ours[-1] < ours[-5] - 1e-3
+    np.testing.assert_allclose(ours, oracle, rtol=2e-4, atol=5e-5)
+
+
 def test_loss_trajectory_with_l2_weight_decay():
     """weight_decay parity: torch Adam's L2 is gradient-added *before*
     the moment updates; train/optim.py chains add_decayed_weights before
