@@ -151,3 +151,35 @@ def test_stat_matched_generator_exact_counts():
     # timestamps strictly increase within each user (TO split order)
     ts = df.sort_values(["user_id", "timestamp"]).groupby("user_id")["timestamp"]
     assert (ts.diff().dropna() > 0).all()
+
+
+def test_beauty_synth_reproduces_reference_logged_stats(tmp_path):
+    """The beauty-scale preset, through the FULL data pipeline (atomic
+    file -> 5-core filter -> remap -> leave-one-out -> augmentation),
+    must reproduce the reference's logged post-filter statistics
+    exactly: 18,897 users / 10,544 items / 167,588 interactions
+    (reference log RecBLR-amazon-beauty-Nov-23-2025_12-40-09 lines
+    109-116) — the closest attainable stand-in for the real-data golden
+    test while the `.inter` blobs are stripped from this environment."""
+    from datamining_recblr_tpu.config import Config
+    from datamining_recblr_tpu.data.dataset import build_dataset
+    from datamining_recblr_tpu.data.synthetic import write_stat_matched_dataset
+
+    write_stat_matched_dataset(str(tmp_path), "beauty-synth")
+    cfg = Config(
+        model="RecBLR",
+        dataset="beauty-synth",
+        config_dict={
+            "data_path": str(tmp_path),
+            # T=50 keeps the augmented arrays small; the user/item/
+            # interaction counts don't depend on it
+            "MAX_ITEM_LIST_LENGTH": 50,
+        },
+    )
+    data = build_dataset(cfg)
+    assert data.n_users - 1 == 18897
+    assert data.n_items - 1 == 10544
+    # one valid + one test sample per user (leave-one-out);
+    # train samples = prefix augmentation of the rest
+    assert len(data.valid) == 18897 and len(data.test) == 18897
+    assert len(data.train) == 167588 - 3 * 18897
