@@ -86,7 +86,7 @@ def eval_main(model_name: str = "RecBLR"):
     )
 
 
-def main(model_name: str = "RecBLR"):
+def main(model_name: str = "RecBLR", mesh_shape: dict | None = None):
     from datamining_recblr_tpu.config import Config
     from datamining_recblr_tpu.data.synthetic import synthetic_splits
     from datamining_recblr_tpu.models import get_model
@@ -105,12 +105,26 @@ def main(model_name: str = "RecBLR"):
             # production precision policy: bf16 matmuls, fp32 scan+CE
             "compute_dtype": "bfloat16" if on_tpu else "float32",
             "use_pallas_scan": "auto",
+            "mesh_shape": mesh_shape,
         },
     )
     model = get_model(model_name)(cfg, n_items=n_items, max_seq_len=max_len)
     optimizer = build_optimizer(cfg)
-    params = model.init_params(jax.random.PRNGKey(0))
-    opt_state = optimizer.init(params)
+    mesh = None
+    if mesh_shape:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from datamining_recblr_tpu.parallel.mesh import make_mesh
+        from datamining_recblr_tpu.parallel.steps import init_sharded_state
+
+        mesh = make_mesh(dict(mesh_shape))
+        model.mesh = mesh
+        params, opt_state = init_sharded_state(
+            model, optimizer, mesh, jax.random.PRNGKey(0)
+        )
+    else:
+        params = model.init_params(jax.random.PRNGKey(0))
+        opt_state = optimizer.init(params)
     base_rng = jax.random.key(1, impl=cfg["prng_impl"])
 
     train, _ = synthetic_splits(6040, n_items, max_len, batch * 4, seed=0)
@@ -128,6 +142,16 @@ def main(model_name: str = "RecBLR"):
             "pos_item": data["pos_item"][idx],
             "weight": weight,
         }
+        if mesh is not None:
+            # device-resident data is replicated; reshard the gathered
+            # batch over the data axis (mirrors the Trainer's resident
+            # mesh-input mode)
+            b = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, P("data"))
+                ),
+                b,
+            )
         rng = jax.random.fold_in(base_rng, step)
         loss, grads = jax.value_and_grad(
             lambda p: model.calculate_loss(p, b, rng)
@@ -163,10 +187,11 @@ def main(model_name: str = "RecBLR"):
     examples_per_s = batch * (2 * steps) / dt
 
     assert np.isfinite(loss), "training diverged"
+    tag = "_mesh1" if mesh_shape else ""
     print(
         json.dumps(
             {
-                "metric": f"{model_name.lower()}_train_examples_per_s_per_chip_ml1m_shape",
+                "metric": f"{model_name.lower()}_train_examples_per_s_per_chip_ml1m_shape{tag}",
                 "value": round(examples_per_s, 1),
                 "unit": "examples/s",
                 "vs_baseline": round(examples_per_s / BASELINE_EXAMPLES_PER_S, 3),
@@ -175,18 +200,38 @@ def main(model_name: str = "RecBLR"):
     )
 
 
+def _parse_mesh(spec: str) -> dict:
+    """'data:1' or 'data:2,model:4' -> {'data': 1, 'model': 4}."""
+    out = {}
+    for part in spec.split(","):
+        k, v = part.split(":")
+        out[k.strip()] = int(v)
+    return out
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--model", default="RecBLR", choices=["RecBLR", "SASRec", "BERT4Rec"],
-        help="model to bench (the driver runs the default, RecBLR)",
+        "--model", default=None, choices=["RecBLR", "SASRec", "BERT4Rec"],
+        help="model to bench; default runs all three (SASRec, BERT4Rec, "
+        "then the headline RecBLR metric LAST so the driver parses it)",
     )
     ap.add_argument(
         "--phase", default="train", choices=["train", "eval"],
         help="train step throughput (default) or full-sort eval users/s",
     )
+    ap.add_argument(
+        "--mesh", default=None,
+        help="run the train step over a mesh, e.g. 'data:1' — measures "
+        "the sharded-step performance class vs the unmeshed path",
+    )
     args = ap.parse_args()
+    mesh_shape = _parse_mesh(args.mesh) if args.mesh else None
     if args.phase == "eval":
-        eval_main(args.model)
+        eval_main(args.model or "RecBLR")
+    elif args.model is not None:
+        main(args.model, mesh_shape)
     else:
-        main(args.model)
+        # one JSON line per model; RecBLR last = the driver's headline
+        for name in ["SASRec", "BERT4Rec", "RecBLR"]:
+            main(name, mesh_shape)

@@ -78,8 +78,16 @@ class SequentialModel:
         """Item-embedding lookup.  Under bf16 compute on TPU the
         gradient uses chunked one-hot matmuls instead of XLA's serial
         scatter-add (ops/embedding.py — ~2x faster, bf16-rounded
-        accumulation); fp32 parity mode keeps the exact scatter."""
-        if self.compute_dtype == jnp.bfloat16 and jax.default_backend() == "tpu":
+        accumulation); fp32 parity mode keeps the exact scatter.
+        Multi-device meshes keep the plain gather: GSPMD partitions it
+        (and its scatter-add grad) over the row-sharded table, while
+        the custom VJP's large-vocab Pallas branch has no partitioning
+        rule."""
+        if (
+            self.compute_dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu"
+            and (self.mesh is None or self.mesh.size == 1)
+        ):
             from datamining_recblr_tpu.ops.embedding import embedding_lookup
 
             return embedding_lookup(params["item_embedding"], ids)
@@ -97,22 +105,32 @@ class SequentialModel:
         idx = jnp.arange(logits.shape[-1])[None, :]
         return jnp.where(idx < self.n_items, logits, value)
 
-    def _use_fused_ce(self, v, d, rows):
-        """Fused softmax-CE kernel gate: single-device TPU only (under
-        a mesh the XLA CE partitions vocab-wise via GSPMD), the [V, D]
-        table must fit VMEM, and the loss must have enough rows —
-        measured on v5e (benchmarks/ce_ab.py, B=2048 T=200 V=3417):
-        at 2048 rows XLA CE wins (RecBLR 160.5k vs 154.5k ex/s, SASRec
-        143.6k vs 137.3k), at 81,920 cloze rows the streaming kernel
-        wins big (BERT4Rec 111.3k vs 86.0k)."""
+    def _use_fused_ce(self, v, d, rows, table_rows=None):
+        """Fused softmax-CE kernel gate: TPU only, the [V, D] table must
+        fit VMEM, and the loss must have enough rows — measured on v5e
+        (benchmarks/ce_ab.py, B=2048 T=200 V=3417): at 2048 rows XLA CE
+        wins (RecBLR 160.5k vs 154.5k ex/s, SASRec 143.6k vs 137.3k),
+        at 81,920 cloze rows the streaming kernel wins big (BERT4Rec
+        111.3k vs 86.0k).  Under a mesh the kernel runs per-shard over
+        ``data`` via shard_map, so it additionally needs the table
+        replicated (a row-sharded table takes the GSPMD vocab-parallel
+        XLA CE instead) and the per-shard row count above the
+        crossover."""
         from datamining_recblr_tpu.ops import fused_ce
 
-        return (
-            jax.default_backend() == "tpu"
-            and self.mesh is None
-            and fused_ce.supports(v, d)
-            and rows >= fused_ce.MIN_ROWS
-        )
+        if jax.default_backend() != "tpu" or not fused_ce.supports(v, d):
+            return False
+        if self.mesh is None:
+            return rows >= fused_ce.MIN_ROWS
+        from datamining_recblr_tpu.parallel.mesh import DATA_AXIS
+        from datamining_recblr_tpu.parallel.sharding import rows_sharded
+
+        if DATA_AXIS not in self.mesh.shape:
+            return False
+        if rows_sharded(table_rows if table_rows is not None else v, self.mesh):
+            return False
+        shard_rows = rows // self.mesh.shape[DATA_AXIS]
+        return shard_rows >= fused_ce.MIN_ROWS
 
     def full_sort_scores(self, params, item_seq, item_seq_len):
         """[B, n_items_padded] scores vs the whole catalog (reference
@@ -145,6 +163,7 @@ class SequentialModel:
                 seq_output, table, batch["pos_item"],
                 valid_v=self.n_items,
                 mm_bf16=self.compute_dtype == jnp.bfloat16,
+                mesh=self.mesh,
             )
             if weights is None:
                 return jnp.mean(nll)

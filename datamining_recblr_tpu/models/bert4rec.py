@@ -78,7 +78,8 @@ class BERT4Rec(SequentialModel):
         x = self.embed(params, item_seq).astype(self.compute_dtype)
         x = x + params["position_embedding"][:t].astype(self.compute_dtype)
         x, rng = L.prologue_ln_dropout(
-            params["input_ln"], x, self.hidden_dropout_prob, deterministic, rng
+            params["input_ln"], x, self.hidden_dropout_prob, deterministic, rng,
+            mesh=self.mesh,
         )
         mask = L.attention_mask(item_seq, bidirectional=True)
         lens = jnp.sum((item_seq != 0).astype(jnp.int32), axis=1)
@@ -96,6 +97,7 @@ class BERT4Rec(SequentialModel):
             causal=False,
             last_only=last_only,
             select=select,
+            mesh=self.mesh,
         )
         # with select < T enforced above, the fused path is the only way
         # the sequence axis can shrink
@@ -198,7 +200,9 @@ class BERT4Rec(SequentialModel):
             return jnp.sum(loss * w) / denom
 
         h = sel_out.shape[-1]
-        if self._use_fused_ce(self.n_items, h, rows=b * mask_len):
+        if self._use_fused_ce(
+            self.n_items, h, rows=b * mask_len, table_rows=self.n_items + 1
+        ):
             from datamining_recblr_tpu.ops.fused_ce import fused_softmax_ce
 
             nll = fused_softmax_ce(
@@ -207,6 +211,7 @@ class BERT4Rec(SequentialModel):
                 jnp.maximum(sel_tgt, 0).reshape(-1),
                 bias=params["output_bias"],
                 mm_bf16=self.compute_dtype == jnp.bfloat16,
+                mesh=self.mesh,
             ).reshape(sel_tgt.shape)
             return jnp.sum(nll * w) / denom
         table = params["item_embedding"][: self.n_items].astype(sel_out.dtype)

@@ -111,13 +111,61 @@ def transformer_encoder_init(
     return layers
 
 
+FORCE_FUSED_ATTENTION = None  # tests may force True/False; None = TPU backend
+
+
 def _use_fused_attention():
+    if FORCE_FUSED_ATTENTION is not None:
+        return bool(FORCE_FUSED_ATTENTION)
     import jax as _jax
 
     return _jax.default_backend() == "tpu"
 
 
-def prologue_ln_dropout(ln_params, x, dropout_p, deterministic, rng):
+def _data_shard_map(mesh, n_batch, fn):
+    """Wrap a fused-kernel call in shard_map over the mesh ``data`` axis
+    (pallas_call has no GSPMD partitioning rule, so under a mesh each
+    kernel runs per-shard).  ``fn`` takes ``(*batch_arrays, seed,
+    params)``: the first ``n_batch`` args are data-sharded on their
+    leading axis, the per-step dropout seed is offset by the device
+    index so shards draw independent masks, and the trailing args
+    (params) stay replicated — same scheme as the shard_map wrappers in
+    ``models/recblr.py`` (their grad correctness vs single-device is
+    pinned by tests/test_mesh_fused.py and the 2-process bitwise
+    trajectory test)."""
+    if mesh is None:
+        return fn
+    from datamining_recblr_tpu.parallel.mesh import DATA_AXIS
+
+    if DATA_AXIS not in mesh.shape:
+        return fn
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    def call(*args):
+        n_rep = len(args) - n_batch
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=tuple([P(DATA_AXIS)] * n_batch + [P()] * n_rep),
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )
+        def _inner(*a):
+            seed = (
+                a[n_batch]
+                + jax.lax.axis_index(DATA_AXIS).astype(jnp.int32) * 1000003
+            )
+            return fn(*a[:n_batch], seed, *a[n_batch + 1 :])
+
+        return _inner(*args)
+
+    return call
+
+
+def prologue_ln_dropout(ln_params, x, dropout_p, deterministic, rng, mesh=None):
     """dropout(LN(x)) — the attention baselines' embedding prologue
     (reference sasrec.py:104-105 order).  On the TPU it runs as one
     Pallas kernel with in-kernel PRNG (ops/fused_layer.fused_ln_dropout
@@ -133,11 +181,13 @@ def prologue_ln_dropout(ln_params, x, dropout_p, deterministic, rng):
             seed = jax.random.randint(k_seed, (1,), 0, 2**31 - 1, dtype=jnp.int32)
         else:
             seed = jnp.zeros((1,), jnp.int32)
-        x = fused_ln_dropout(
+        x = _data_shard_map(
+            mesh, 1,
+            lambda xs, s, scale, bias: fused_ln_dropout(xs, s, scale, bias, p),
+        )(
             x, seed,
             ln_params["scale"].astype(jnp.float32),
             ln_params["bias"].astype(jnp.float32),
-            p,
         )
         return x, rng
     x = layer_norm(ln_params, x)
@@ -149,7 +199,7 @@ def prologue_ln_dropout(ln_params, x, dropout_p, deterministic, rng):
 
 def _multi_head_attention(
     p, x, attn_mask, n_heads, *, hidden_dropout, attn_dropout, deterministic, rng,
-    lens=None, causal=None,
+    lens=None, causal=None, mesh=None,
 ):
     b, t, h = x.shape
     d_head = h // n_heads
@@ -173,7 +223,12 @@ def _multi_head_attention(
             seed = jax.random.randint(k_seed, (1,), 0, 2**31 - 1, dtype=jnp.int32)
         else:
             seed = jnp.zeros((1,), jnp.int32)
-        ctx = fused_attention(q, k, v, lens, seed, bool(causal), p_attn)
+        ctx = _data_shard_map(
+            mesh, 4,
+            lambda qs, ks, vs, ls, s: fused_attention(
+                qs, ks, vs, ls, s, bool(causal), p_attn
+            ),
+        )(q, k, v, lens, seed)
     else:
         scores = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
@@ -208,6 +263,7 @@ def transformer_encoder_apply(
     causal=None,
     last_only=False,
     select=None,
+    mesh=None,
 ):
     """Apply the post-LN transformer stack; returns final hidden states.
 
@@ -261,10 +317,13 @@ def transformer_encoder_apply(
                     # top layer: only the last position is consumed.
                     # Valid causal (padding mask == causal mask on the
                     # last row) and bidirectional (padding-only mask).
-                    return FB.fused_transformer_layer_last(
-                        x, lens, seed, fp, n_heads,
-                        p_hidden, p_attn, hidden_act, mm_bf16,
-                    )
+                    return _data_shard_map(
+                        mesh, 2,
+                        lambda xs, ls, s, p_: FB.fused_transformer_layer_last(
+                            xs, ls, s, p_, n_heads,
+                            p_hidden, p_attn, hidden_act, mm_bf16,
+                        ),
+                    )(x, lens, seed, fp)
                 if select is not None and li == len(layers) - 1:
                     # top layer: only S selected positions are consumed
                     # (bidirectional cloze loss).  The sel kernel's mask
@@ -275,14 +334,20 @@ def transformer_encoder_apply(
                             "select= requires a bidirectional stack; the "
                             "selected-positions kernel has no causal mask"
                         )
-                    return FB.fused_transformer_layer_sel(
-                        x, lens, select, seed, fp, n_heads,
+                    return _data_shard_map(
+                        mesh, 3,
+                        lambda xs, ls, sel, s, p_: FB.fused_transformer_layer_sel(
+                            xs, ls, sel, s, p_, n_heads,
+                            p_hidden, p_attn, hidden_act, mm_bf16,
+                        ),
+                    )(x, lens, select, seed, fp)
+                x = _data_shard_map(
+                    mesh, 2,
+                    lambda xs, ls, s, p_: FB.fused_transformer_layer(
+                        xs, ls, s, p_, bool(causal), n_heads,
                         p_hidden, p_attn, hidden_act, mm_bf16,
-                    )
-                x = FB.fused_transformer_layer(
-                    x, lens, seed, fp, bool(causal), n_heads,
-                    p_hidden, p_attn, hidden_act, mm_bf16,
-                )
+                    ),
+                )(x, lens, seed, fp)
             return x
 
     act = activation(hidden_act)
@@ -302,6 +367,7 @@ def transformer_encoder_apply(
             rng=sub1,
             lens=lens,
             causal=causal,
+            mesh=mesh,
         )
         y = act(dense(p["ffn_1"], x))
         y = dense(p["ffn_2"], y)

@@ -48,7 +48,8 @@ class SASRec(SequentialModel):
         x = x + params["position_embedding"][:t].astype(self.compute_dtype)
         # LN then dropout (reference sasrec.py:104-105 order)
         x, rng = L.prologue_ln_dropout(
-            params["input_ln"], x, self.hidden_dropout_prob, deterministic, rng
+            params["input_ln"], x, self.hidden_dropout_prob, deterministic, rng,
+            mesh=self.mesh,
         )
         mask = L.attention_mask(item_seq, bidirectional=False)
         lens = jnp.sum((item_seq != 0).astype(jnp.int32), axis=1)
@@ -68,6 +69,7 @@ class SASRec(SequentialModel):
             # on the fused path the top layer runs the last-query kernel
             # and returns [B, D] directly
             last_only=True,
+            mesh=self.mesh,
         )
         if x.ndim == 2:
             return x

@@ -195,22 +195,40 @@ _fused_ce.defvjp(_fce_fwd, _fce_bwd)
 
 
 def fused_softmax_ce(x, table, targets, bias=None, valid_v=None,
-                     mm_bf16=False):
+                     mm_bf16=False, mesh=None):
     """Per-row softmax cross-entropy nll [N] f32 of ``x [N, D]`` against
     catalog ``table [V, D]`` (optionally + ``bias [V]``), with vocab
     columns >= ``valid_v`` masked out.  Differentiable in x, table and
-    bias via one fused backward kernel."""
+    bias via one fused backward kernel.
+
+    With ``mesh`` the kernel runs per-shard over the ``data`` axis via
+    shard_map (pallas_call has no GSPMD partitioning rule): x/targets
+    rows must be data-sharded, table/bias replicated — callers gate on
+    ``parallel.sharding.rows_sharded`` being False for the table.
+    shard_map's transpose psums the table/bias cotangents over ``data``
+    automatically (same contract as the shard_map-wrapped layer kernels
+    in models/recblr.py, verified bitwise vs single-device in
+    tests/test_mesh_fused.py / test_multiprocess.py)."""
     v = table.shape[0]
     if valid_v is None:
         valid_v = v
-    if bias is None:
-        nll = _fused_ce(
-            x, table, jnp.zeros((v,), jnp.float32), targets,
-            int(valid_v), bool(mm_bf16),
-        )
-    else:
-        nll = _fused_ce(
-            x, table, bias.astype(jnp.float32), targets,
-            int(valid_v), bool(mm_bf16),
-        )
-    return nll
+    bias = (
+        jnp.zeros((v,), jnp.float32) if bias is None
+        else bias.astype(jnp.float32)
+    )
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        from datamining_recblr_tpu.parallel.mesh import DATA_AXIS
+
+        sharded = functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS), P(), P(), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )(lambda xs, tab, b, tgt: _fused_ce(
+            xs, tab, b, tgt, int(valid_v), bool(mm_bf16)
+        ))
+        return sharded(x, table, bias, targets)
+    return _fused_ce(x, table, bias, targets, int(valid_v), bool(mm_bf16))

@@ -23,6 +23,19 @@ _ROW_SHARDED = {"item_embedding"}
 _VOCAB_SHARDED = {"output_bias"}
 
 
+def rows_sharded(nrows: int, mesh: Mesh | None) -> bool:
+    """True when a vocab-leading tensor with ``nrows`` rows gets
+    row-sharded over the ``model`` axis by :func:`param_pspecs` (it
+    stays replicated when the mesh has no model axis or the rows do not
+    divide it).  Kernels gate on this: the fused CE runs only against a
+    replicated table (a row-sharded one takes the GSPMD vocab-parallel
+    XLA path instead)."""
+    if mesh is None:
+        return False
+    model_size = mesh.shape.get(MODEL_AXIS, 1)
+    return model_size > 1 and nrows % model_size == 0
+
+
 def param_pspecs(params, mesh: Mesh | None = None) -> dict:
     """PartitionSpec tree matching a model param tree.  When a mesh is
     given, tensors whose leading dim does not divide the model axis stay
@@ -31,7 +44,7 @@ def param_pspecs(params, mesh: Mesh | None = None) -> dict:
 
     def divisible(leaf):
         dim = getattr(leaf, "shape", (0,))[0] if hasattr(leaf, "shape") else 0
-        return dim and dim % model_size == 0
+        return dim and rows_sharded(dim, mesh)
 
     def spec_for(path, leaf):
         # meshes without a model axis (e.g. data x seq) replicate params
@@ -84,8 +97,26 @@ def shard_batch(batch, mesh: Mesh):
 
         from datamining_recblr_tpu.parallel.input import process_local_rows
 
+        # fail loudly here rather than at array-assembly depth: the
+        # per-process slice scheme needs an even row split and a
+        # process-contiguous data axis (jax.devices() order)
+        procs = jax.process_count()
+        mesh_procs = [d.process_index for d in mesh.devices.flat]
+        if mesh_procs != sorted(mesh_procs):
+            raise ValueError(
+                "shard_batch: mesh data axis is not process-contiguous "
+                f"(device process order {mesh_procs}); build the mesh from "
+                "jax.devices() order so local rows land on local devices"
+            )
+
         def put(x):
             x = np.asarray(x)
+            if x.shape[0] % procs != 0:
+                raise ValueError(
+                    f"shard_batch: global batch rows {x.shape[0]} do not "
+                    f"divide process_count {procs}; pad the batch to a "
+                    "static per-process shape"
+                )
             lo, hi = process_local_rows(x.shape[0], mesh)
             return jax.make_array_from_process_local_data(
                 NamedSharding(mesh, _batch_spec(x, mesh)), x[lo:hi]
