@@ -558,13 +558,17 @@ def _select_last(m, v):
 
 def _layer_last_fwd_core(x, lens, p, *, use_conv, use_ffn, keep_prob,
                          seeded, mm_bf16=False):
-    """Forward returning only the last-position output [bt, 1, D]."""
+    """Forward returning only the last-position output [bt, 1, D].
+
+    The z branch is consumed only at each row's last position, so only
+    the xb half of the in_proj matmul runs over full T; z is projected
+    from the selected last-position rows alone (halves the largest
+    matmul in this kernel)."""
     _mm = _make_mm(mm_bf16)
     bt, t, d = x.shape
     x2 = x.reshape(bt * t, d)
-    xz = _mm(x2, p["w_in"]).reshape(bt, t, -1)
-    c = xz.shape[-1] // 2
-    xb, z = xz[..., :c], xz[..., c:]
+    c = p["w_in"].shape[1] // 2
+    xb = _mm(x2, p["w_in"][:, :c]).reshape(bt, t, c)
     if use_conv:
         u = _conv_fwd(xb, p["wc"], p["bc"])
         xc = _silu(u)
@@ -575,7 +579,7 @@ def _layer_last_fwd_core(x, lens, p, *, use_conv, use_ffn, keep_prob,
 
     m = _last_mask(lens, bt, t)
     xl = _select_last(m, x)          # [bt,1,D]
-    zl = _select_last(m, z)          # [bt,1,C]
+    zl = _mm(xl.reshape(bt, d), p["w_in"][:, c:]).reshape(bt, 1, c)
     hl = _select_last(m, h)          # [bt,1,C]
     szl = fastmath.sigmoid(zl)
     yinl = (zl * szl) * hl
@@ -630,11 +634,11 @@ def _last_bwd_kernel(
     p = _params_from_refs(param_refs, use_ffn)
     bt, t, d = x.shape
 
-    # --- recompute forward (identical PRNG call order) ------------------
+    # --- recompute forward (identical PRNG call order; z projected at
+    # the last position only, mirroring _layer_last_fwd_core) -----------
     x2 = x.reshape(bt * t, d)
-    xz = _mm(x2, p["w_in"]).reshape(bt, t, -1)
-    c = xz.shape[-1] // 2
-    xb, z = xz[..., :c], xz[..., c:]
+    c = p["w_in"].shape[1] // 2
+    xb = _mm(x2, p["w_in"][:, :c]).reshape(bt, t, c)
     if use_conv:
         u = _conv_fwd(xb, p["wc"], p["bc"])
         sg_u = fastmath.sigmoid(u)
@@ -646,7 +650,7 @@ def _last_bwd_kernel(
 
     m = _last_mask(lens_ref[:], bt, t)
     xl = _select_last(m, x)
-    zl = _select_last(m, z)
+    zl = _mm(xl.reshape(bt, d), p["w_in"][:, c:]).reshape(bt, 1, c)
     hl = _select_last(m, h)
     szl = fastmath.sigmoid(zl)
     gatel = zl * szl
@@ -748,10 +752,19 @@ def _last_bwd_kernel(
         grads["wc"] = jnp.zeros_like(p["wc"])
         grads["bc"] = jnp.zeros_like(p["bc"])
 
-    dz = m * dzl  # [bt,T,C], nonzero only at the last position
-    dxz = jnp.concatenate([dxb, dz], axis=-1).reshape(bt * t, 2 * c)
-    grads["w_in"] = _mmT(x2, dxz)
-    dx = _mm(dxz, p["w_in"].T).reshape(bt, t, d) + m * dxl
+    # dz lives only at the last position: contract the z-half of w_in
+    # against the [bt, C] last-position cotangent instead of a
+    # [bt*T, C] zero-padded tensor (halves the w_in grad + dx matmuls)
+    dxb2 = dxb.reshape(bt * t, c)
+    dzl2 = dzl.reshape(bt, c)
+    grads["w_in"] = jnp.concatenate(
+        [_mmT(x2, dxb2), _mmT(xl.reshape(bt, d), dzl2)], axis=-1
+    )
+    dxl_z = _mm(dzl2, p["w_in"][:, c:].T).reshape(bt, 1, d)
+    dx = (
+        _mm(dxb2, p["w_in"][:, :c].T).reshape(bt, t, d)
+        + m * (dxl + dxl_z)
+    )
 
     dx_ref[:] = dx.astype(dx_ref.dtype)
 
