@@ -284,6 +284,143 @@ def test_sasrec_loss_trajectory_matches_torch_oracle():
     np.testing.assert_allclose(ours, oracle, rtol=2e-4, atol=5e-5)
 
 
+def _t_bert4rec_loss(tp, masked_seq, order, sel_tgt, w, model):
+    """BERT4Rec cloze-loss oracle in torch (reference ``bert4rec.py``):
+    bidirectional post-LN transformer over the masked sequence
+    (key-padding-only additive mask, ``:132``), GELU output head + LN +
+    per-item bias (``:83-86,136-139``), CE over the ``n_items`` catalog
+    at the masked positions only, normalized by the real mask count
+    (``:200-213``).  The cloze positions/targets are injected so both
+    sides score identical masks."""
+    b, t = masked_seq.shape
+    x = tp["item_embedding"][masked_seq] + tp["position_embedding"][:t]
+    x = _t_ln(x, tp["input_ln"]["scale"], tp["input_ln"]["bias"])
+    pad = (masked_seq != 0)[:, None, None, :]
+    mask = torch.where(pad, 0.0, -10000.0)
+    n_heads = model.n_heads
+    dh = model.hidden_size // n_heads
+
+    def dense(p, v):
+        return v @ p["w"] + p["b"]
+
+    def heads(v):
+        return v.reshape(b, t, n_heads, dh).permute(0, 2, 1, 3)
+
+    for p in tp["encoder"]:
+        q, k, v = heads(dense(p["q"], x)), heads(dense(p["k"], x)), heads(dense(p["v"], x))
+        scores = q @ k.transpose(-1, -2) / (dh ** 0.5) + mask
+        ctx = torch.softmax(scores, dim=-1) @ v
+        ctx = ctx.permute(0, 2, 1, 3).reshape(b, t, -1)
+        x = _t_ln(dense(p["attn_out"], ctx) + x,
+                  p["attn_ln"]["scale"], p["attn_ln"]["bias"])
+        y = dense(p["ffn_2"], F.gelu(dense(p["ffn_1"], x), approximate="tanh"))
+        x = _t_ln(y + x, p["ffn_ln"]["scale"], p["ffn_ln"]["bias"])
+    # output head (positionwise; reference bert4rec.py:83-86)
+    x = F.gelu(dense(tp["output_ffn"], x), approximate="tanh")
+    x = _t_ln(x, tp["output_ln"]["scale"], tp["output_ln"]["bias"])
+    sel = x[torch.arange(b)[:, None], order]                       # [B, M, H]
+    table = tp["item_embedding"][: model.n_items]
+    logits = sel @ table.T + tp["output_bias"]                     # [B, M, V]
+    logz = torch.logsumexp(logits, dim=-1)
+    tgt = torch.gather(logits, 2, sel_tgt.clamp(min=0)[..., None])[..., 0]
+    nll = logz - tgt
+    return (nll * w).sum() / w.sum().clamp(min=1.0)
+
+
+def test_bert4rec_loss_trajectory_matches_torch_oracle():
+    """Cloze-objective trajectory parity: the repo's on-device cloze
+    draw is replayed bit-identically host-side (same key splits as
+    ``bert4rec.py calculate_loss``), so the torch oracle scores the
+    exact masks the repo trains on — covering the mask-budget capping,
+    argsort-free compaction, output bias, and mask-count normalization
+    against independent torch autograd + Adam."""
+    from datamining_recblr_tpu.models.bert4rec import BERT4Rec
+
+    cfg = Config(
+        model="BERT4Rec",
+        config_dict={
+            "hidden_size": 16,
+            "n_layers": 2,
+            "n_heads": 2,
+            "inner_size": 32,
+            "hidden_dropout_prob": 0.0,
+            "attn_dropout_prob": 0.0,
+            "mask_ratio": 0.4,
+            "MAX_ITEM_LIST_LENGTH": T,
+        },
+    )
+    model = BERT4Rec(cfg, n_items=N_ITEMS, max_seq_len=T)
+    params = model.init_params(jax.random.PRNGKey(2))
+    tparams = _to_torch(params)
+
+    optimizer = build_optimizer(cfg)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(params, opt_state, seq, lens, rng):
+        def loss_fn(p):
+            batch = {
+                "item_seq": seq, "item_seq_len": lens,
+                "weight": jnp.ones((B,), jnp.float32),
+            }
+            return model.calculate_loss(p, batch, rng)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u.astype(p.dtype), params, updates)
+        return params, opt_state, loss
+
+    def replay_cloze(rng, seq):
+        """Host-side replay of the model's on-device cloze draw
+        (bert4rec.py calculate_loss: split(rng, 4) -> bernoulli(k_mask)
+        -> rank-capped budget -> compaction order/targets)."""
+        mask_len = max(1, int(model.mask_ratio * T))
+        _, k_mask, _, _ = jax.random.split(rng, 4)
+        want = np.asarray(
+            jax.random.bernoulli(k_mask, model.mask_ratio, seq.shape)
+        ) & (seq != 0)
+        rank = np.cumsum(want, axis=1)
+        cloze = want & (rank <= mask_len)
+        masked_seq = np.where(cloze, model.mask_token, seq)
+        order = np.zeros((B, mask_len), np.int64)
+        sel_tgt = np.zeros((B, mask_len), np.int64)
+        for i in range(B):
+            pos = np.nonzero(cloze[i])[0]
+            order[i, : len(pos)] = pos
+            sel_tgt[i, : len(pos)] = seq[i, pos]
+        n_masked = cloze.sum(axis=1)
+        w = (np.arange(mask_len)[None, :] < n_masked[:, None]).astype(np.float32)
+        return masked_seq, order, sel_tgt, w
+
+    topt = torch.optim.Adam(jax.tree.leaves(tparams), lr=cfg["learning_rate"], eps=1e-8)
+    ours, oracle = [], []
+    for si, (seq, lens, _pos) in enumerate(_batches(10, seed=13, repeat_last=5)):
+        rng = jax.random.PRNGKey(1000 + (si if si < 5 else 4))
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(seq), jnp.asarray(lens), rng
+        )
+        ours.append(float(loss))
+
+        masked_seq, order, sel_tgt, w = replay_cloze(rng, seq)
+        topt.zero_grad(set_to_none=True)
+        tloss = _t_bert4rec_loss(
+            tparams,
+            torch.tensor(masked_seq, dtype=torch.long),
+            torch.tensor(order), torch.tensor(sel_tgt),
+            torch.tensor(w), model,
+        )
+        tloss.backward()
+        topt.step()
+        oracle.append(float(tloss.detach()))
+    assert oracle[-1] < oracle[-5] - 1e-3 and ours[-1] < ours[-5] - 1e-3
+    np.testing.assert_allclose(ours, oracle, rtol=2e-4, atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(params["item_embedding"]),
+        tparams["item_embedding"].detach().numpy(),
+        rtol=1e-3, atol=2e-4,
+    )
+
+
 def test_loss_trajectory_with_l2_weight_decay():
     """weight_decay parity: torch Adam's L2 is gradient-added *before*
     the moment updates; train/optim.py chains add_decayed_weights before
