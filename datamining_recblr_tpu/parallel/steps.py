@@ -18,12 +18,50 @@ from datamining_recblr_tpu.eval.metrics import mask_scores, rank_metrics, target
 from datamining_recblr_tpu.parallel.sharding import named, param_pspecs
 
 
+def opt_state_pspecs(opt_template, param_template, mesh):
+    """PartitionSpec tree for an optimizer state: any leaf whose tree
+    path ends with a param's path (optax moment trees mirror the param
+    tree, e.g. ``[0].mu['item_embedding']``) inherits that param's
+    spec; everything else (step counts) replicates.  Matching by path
+    suffix + shape keeps this optimizer-agnostic."""
+    pspecs = param_pspecs(param_template, mesh)
+    param_leaves = {
+        tuple(str(k) for k in path): (leaf.shape, spec)
+        for (path, leaf), spec in zip(
+            jax.tree_util.tree_leaves_with_path(param_template),
+            jax.tree.leaves(pspecs, is_leaf=lambda s: isinstance(s, P)),
+        )
+    }
+
+    def spec_for(path, leaf):
+        keys = tuple(str(k) for k in path)
+        for ppath, (shape, spec) in param_leaves.items():
+            if (
+                len(keys) >= len(ppath)
+                and keys[len(keys) - len(ppath):] == ppath
+                and getattr(leaf, "shape", None) == shape
+            ):
+                return spec
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, opt_template)
+
+
 def init_sharded_state(model, optimizer, mesh, rng):
     """Initialize params and optimizer state directly with their target
-    shardings (no unsharded materialization)."""
-    param_sh = named(mesh, param_pspecs(jax.eval_shape(model.init_params, rng), mesh))
+    shardings (no unsharded materialization).  The optimizer state gets
+    EXPLICIT out_shardings — without them jit leaves small leaves
+    uncommitted on the default device, which works for live training
+    (jit reshards uncommitted arrays freely) but poisons checkpoint
+    restore: Orbax commits each leaf to its template sharding, and a
+    committed single-device step-count alongside mesh-committed params
+    fails the next jitted step."""
+    param_tmpl = jax.eval_shape(model.init_params, rng)
+    param_sh = named(mesh, param_pspecs(param_tmpl, mesh))
     params = jax.jit(model.init_params, out_shardings=param_sh)(rng)
-    opt_state = jax.jit(optimizer.init)(params)  # follows param shardings
+    opt_tmpl = jax.eval_shape(optimizer.init, param_tmpl)
+    opt_sh = named(mesh, opt_state_pspecs(opt_tmpl, param_tmpl, mesh))
+    opt_state = jax.jit(optimizer.init, out_shardings=opt_sh)(params)
     return params, opt_state
 
 

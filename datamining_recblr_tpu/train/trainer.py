@@ -146,12 +146,36 @@ class Trainer:
             "best_epoch": self.best_epoch,
         }
 
+    @staticmethod
+    def _place_like(restored, template):
+        """Re-place restored leaves onto the template's shardings.
+        Orbax restores sharded arrays in place (their shardings come
+        from the abstract target), but small/scalar leaves can come
+        back committed to one device — under a mesh that poisons the
+        jitted step with mixed device sets.  Equal shardings pass
+        through untouched; mismatches bounce through the host (such
+        leaves are always process-local) onto the target sharding."""
+        import numpy as np
+
+        def leaf(r, t):
+            if isinstance(t, jax.Array):
+                if isinstance(r, jax.Array) and r.sharding == t.sharding:
+                    return r
+                host = np.asarray(r) if isinstance(r, jax.Array) else r
+                return jax.device_put(host, t.sharding)
+            return jnp.asarray(r) if hasattr(r, "shape") else r
+
+        return jax.tree.map(leaf, restored, template)
+
     def resume_from(self, path):
         """Restore params/optimizer/progress from a checkpoint and
         continue training at the following epoch."""
-        state = restore_checkpoint(path, self._checkpoint_state(0))
-        self.params = jax.tree.map(jnp.asarray, state["params"])
-        self.opt_state = jax.tree.map(jnp.asarray, state["opt_state"])
+        template = self._checkpoint_state(0)
+        state = restore_checkpoint(path, template)
+        self.params = self._place_like(state["params"], template["params"])
+        self.opt_state = self._place_like(
+            state["opt_state"], template["opt_state"]
+        )
         self.start_epoch = int(state["epoch"]) + 1
         self.best_score = float(state["best_score"])
         self.best_epoch = int(state["best_epoch"])
@@ -364,8 +388,9 @@ class Trainer:
         from saved/...')."""
         params = self.params
         if load_best and self.ckpt_path:
-            state = restore_checkpoint(self.ckpt_path, self._checkpoint_state(0))
-            params = jax.tree.map(jnp.asarray, state["params"])
+            template = self._checkpoint_state(0)
+            state = restore_checkpoint(self.ckpt_path, template)
+            params = self._place_like(state["params"], template["params"])
         result = self.evaluator.evaluate(params, split, history_fn)
         self.logger.info("test result: " + format_result(result))
         self.metrics.log("test", **result)

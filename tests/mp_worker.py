@@ -50,32 +50,69 @@ def main():
     )
     data = build_from_dataframe(df, max_seq_len=16)
 
-    cfg = Config(
-        model="RecBLR",
-        config_dict={
-            "hidden_size": 16,
-            "num_layers": 1,
-            "epochs": 3,
-            "train_batch_size": 128,
-            "eval_batch_size": 128,
-            "use_pallas_scan": "never",
-            "MAX_ITEM_LIST_LENGTH": 16,
-            "dataset": "synthetic",
-            "mesh_shape": {"data": 4},
-            # per-process scratch dir: multi-host checkpoint fan-in is
-            # exercised separately (orbax); here every host writes its own
-            "checkpoint_dir": f"{out_path}.ckpt{pid}",
-        },
-    )
+    ckpt_root = os.path.join(os.path.dirname(os.path.abspath(out_path)),
+                             f"shared_ckpt_{nproc}")
+
+    def make_cfg(epochs):
+        return Config(
+            model="RecBLR",
+            config_dict={
+                "hidden_size": 16,
+                "num_layers": 1,
+                "epochs": epochs,
+                "train_batch_size": 128,
+                "eval_batch_size": 128,
+                "use_pallas_scan": "never",
+                "MAX_ITEM_LIST_LENGTH": 16,
+                "dataset": "synthetic",
+                # model axis: the embedding is row-sharded ACROSS the two
+                # processes — collectives ride the (virtual) DCN
+                "mesh_shape": {"data": 2, "model": 2},
+                # ONE shared checkpoint dir (derived from the common
+                # parent dir, NOT the per-process out_path): orbax saves
+                # are collective, each process writes its addressable
+                # shards into the SAME path
+                "checkpoint_dir": ckpt_root,
+            },
+        )
+
+    cfg = make_cfg(epochs=3)
     model = get_model("RecBLR")(cfg, data.n_items, data.max_seq_len)
     trainer = Trainer(cfg, model)
-    best, _ = trainer.fit(data, checkpoint_path=f"{out_path}.ckpt{pid}/m")
+    emb_spec = str(trainer.params["item_embedding"].sharding.spec)
+    assert "model" in emb_spec, f"embedding not row-sharded: {emb_spec}"
+    best, _ = trainer.fit(data, checkpoint_path=f"{ckpt_root}/m")
     records = [
         {k: rec[k] for k in ("epoch", "train_loss", "valid_score")}
         for rec in trainer.metrics.epoch_records()
     ]
+
+    # --- save -> restart -> resume with the row-sharded embedding ------
+    # partial run (2 epochs) into a second shared checkpoint, then a
+    # FRESH trainer restores the sharded state collectively and finishes;
+    # the resumed epochs must replay the full run's trajectory exactly
+    cfg_p = make_cfg(epochs=2)
+    model_p = get_model("RecBLR")(cfg_p, data.n_items, data.max_seq_len)
+    tp = Trainer(cfg_p, model_p)
+    tp.fit(data, checkpoint_path=f"{ckpt_root}/part")
+    cfg_r = make_cfg(epochs=3)
+    model_r = get_model("RecBLR")(cfg_r, data.n_items, data.max_seq_len)
+    tr = Trainer(cfg_r, model_r)
+    tr.resume_from(tp.ckpt_path)
+    emb_spec_r = str(tr.params["item_embedding"].sharding.spec)
+    assert "model" in emb_spec_r, f"restored embedding unsharded: {emb_spec_r}"
+    tr.fit(data, checkpoint_path=f"{ckpt_root}/resumed")
+    resumed = [
+        {k: rec[k] for k in ("epoch", "train_loss", "valid_score")}
+        for rec in tr.metrics.epoch_records()
+    ]
+
     with open(out_path, "w") as f:
-        json.dump({"pid": pid, "best": float(best), "records": records}, f)
+        json.dump(
+            {"pid": pid, "best": float(best), "records": records,
+             "resumed": resumed},
+            f,
+        )
 
 
 if __name__ == "__main__":

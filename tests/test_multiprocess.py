@@ -63,3 +63,13 @@ def test_two_process_training_matches_single_process(tmp_path):
     for a, b in zip(r0["records"], rs["records"]):
         assert a["train_loss"] == b["train_loss"], (a, b)
         assert a["valid_score"] == b["valid_score"], (a, b)
+    # save -> restart -> resume through the SHARED orbax checkpoint with
+    # the row-sharded embedding: the resumed epochs replay the full
+    # run's trajectory exactly, on both processes and single-process
+    full = {r["epoch"]: r for r in r0["records"]}
+    assert r0["resumed"] == r1["resumed"]
+    assert r0["resumed"], "resumed run trained no epochs"
+    for rec in r0["resumed"]:
+        assert rec["train_loss"] == full[rec["epoch"]]["train_loss"], rec
+    for rec_mp, rec_sp in zip(r0["resumed"], rs["resumed"]):
+        assert rec_mp["train_loss"] == rec_sp["train_loss"], (rec_mp, rec_sp)
