@@ -249,18 +249,23 @@ STAT_PRESETS = {
 
 
 def write_stat_matched_dataset(
-    data_path: str, name: str, seed: int = 2020, **overrides
+    data_path: str, name: str, seed: int = 2020, out_name: str | None = None,
+    **overrides,
 ) -> str:
     """Generate ``STAT_PRESETS[name]`` (with overrides) and write it to
-    ``<data_path>/<name>/<name>.inter``; returns the file path."""
+    ``<data_path>/<out_name>/<out_name>.inter`` (out_name defaults to
+    name; override runs should pass a distinct out_name so the
+    canonical preset dataset is never silently replaced); returns the
+    file path."""
     import os
 
+    out_name = out_name or name
     preset = dict(STAT_PRESETS[name], **overrides)
     df = generate_stat_matched_interactions(
         preset.pop("n_users"), preset.pop("n_items"), preset.pop("n_inters"),
         seed=seed, **preset,
     )
-    path = os.path.join(data_path, name, f"{name}.inter")
+    path = os.path.join(data_path, out_name, f"{out_name}.inter")
     write_atomic_inter(df, path)
     return path
 

@@ -203,15 +203,29 @@ class RecBLR(SequentialModel):
 
     def _use_fused_layer(self):
         # whole-layer fusion holds its fp32 working set in VMEM; beyond
-        # T=512 (measured v5e limit) fall back to the partially-fused
-        # path (conv+gates+scan kernel + XLA rest), which scales to
-        # XLong-length sequences
+        # T=512 (measured v5e limit) the sequence-chunked variant
+        # (_use_chunked_layer) takes over
         return (
             self.scan_impl != "xla"
             and self.hidden_size <= 128
             and self.inner_hidden <= 128
             and self.max_seq_len <= 512
             and self._seq_shards() == 1
+            and (self.scan_impl == "pallas" or jax.default_backend() == "tpu")
+        )
+
+    def _use_chunked_layer(self):
+        # long-context path: whole-layer fusion with the sequence tiled
+        # into chunks and the recurrence carried across them
+        # (ops/fused_layer_chunked.py) — keeps XLong-scale T on the
+        # fused path instead of the partially-fused fallback.  Single
+        # device only (the mesh wrappers cover the <=512 kernels).
+        return (
+            self.scan_impl != "xla"
+            and self.hidden_size <= 128
+            and self.inner_hidden <= 128
+            and self.max_seq_len > 512
+            and self.mesh is None
             and (self.scan_impl == "pallas" or jax.default_backend() == "tpu")
         )
 
@@ -248,21 +262,36 @@ class RecBLR(SequentialModel):
     def forward(self, params, item_seq, item_seq_len, *, deterministic=True, rng=None):
         training = rng is not None and not deterministic
         use_fused = self._use_fused_layer()
+        use_chunked = not use_fused and self._use_chunked_layer()
         x = self.embed(params, item_seq).astype(self.compute_dtype)
 
-        if not use_fused:
+        if not (use_fused or use_chunked):
             if rng is not None:
                 rng, sub = jax.random.split(rng)
                 x = L.dropout(sub, x, self.dropout_prob, deterministic)
             x = L.layer_norm(params["input_ln"], x)
-        if use_fused:
-            # whole-layer fused kernels (ops/fused_layer.py): in-kernel
-            # dropout uses the TPU PRNG with a per-step-derived seed
+        if use_fused or use_chunked:
+            # whole-layer fused kernels (ops/fused_layer.py; beyond
+            # T=512 the sequence-chunked variant,
+            # ops/fused_layer_chunked.py): in-kernel dropout uses the
+            # TPU PRNG with a per-step-derived seed
             from datamining_recblr_tpu.ops.fused_layer import (
                 fused_dropout_ln,
                 fused_recurrent_layer,
                 fused_recurrent_layer_last,
             )
+
+            if use_chunked:
+                from datamining_recblr_tpu.ops.fused_layer_chunked import (
+                    fused_recurrent_layer_chunked,
+                )
+
+                def fused_recurrent_layer(x, seed, flat, use_conv, use_ffn,
+                                          p_drop, mm_bf16, pro=False):
+                    return fused_recurrent_layer_chunked(
+                        x, seed, flat, use_conv, use_ffn, p_drop, mm_bf16,
+                        pro,
+                    )
 
             p_drop = float(self.dropout_prob) if training else 0.0
             n_seeds = len(params["layers"]) + 1  # +1 for the prologue
@@ -353,9 +382,13 @@ class RecBLR(SequentialModel):
             fuse_pro = n_layers >= 2
             if not fuse_pro:
                 x = fused_dropout_ln(x, seeds[-1], ln_s, ln_b, p_drop)
+            # the last-position kernel holds full [bt, T, C] in VMEM;
+            # it fits to T=1024 at 2-row blocks (measured v5e) — beyond,
+            # the top layer runs the chunked kernel + gather
+            last_ok = self.max_seq_len <= 1024
             for li, layer in enumerate(params["layers"]):
                 flat = self._flat_layer_params(layer, use_ffn)
-                if li == n_layers - 1:
+                if li == n_layers - 1 and last_ok:
                     # top layer: only the last position is consumed
                     return fused_recurrent_layer_last(
                         x, item_seq_len, seeds[li], flat,

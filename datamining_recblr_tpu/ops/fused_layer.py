@@ -541,8 +541,10 @@ def _last_block_rows(t: int) -> int:
     bit-identical masks only if fwd and bwd share the block-to-row
     mapping — a single source of truth keeps them from drifting.
     16 rows measured fastest for the bwd at T=200 (32 regresses; a
-    32-row fwd would be ~0.2 ms faster but breaks replay)."""
-    return _block_rows(t, 16 * 200, cap=16)
+    32-row fwd would be ~0.2 ms faster but breaks replay).  Floor of 8:
+    Mosaic needs 8-sublane-aligned blocks for the [bt, 1] lens input
+    (long-context T=1024 would otherwise pick 2-row blocks)."""
+    return max(8, _block_rows(t, 16 * 200, cap=16))
 
 
 def _last_mask(lens, bt, t):

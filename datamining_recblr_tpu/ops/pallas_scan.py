@@ -40,12 +40,17 @@ def _block_rows(t: int) -> int:
     return max(1, min(DEFAULT_BT, 4096 // max(t, 1)))
 
 
-def _scan_body(x, f, reverse=False):
+def _scan_body(x, f, reverse=False, return_prod=False):
     """Hillis-Steele inclusive scan along axis 1 of [BT, T, C] registers.
 
     ``reverse=True`` scans right-to-left (h_t = f_t * h_{t+1} + x_t),
     used by the backward pass — a native reverse avoids the expensive
-    HBM `reverse` relayout ops XLA emits for jnp.flip."""
+    HBM `reverse` relayout ops XLA emits for jnp.flip.
+
+    ``return_prod=True`` also returns the inclusive gate cumprod
+    (prefix product of ``f`` up to and including t; for ``reverse``,
+    the suffix product from t) — the sequence-chunked kernels use it
+    to apply the cross-chunk carry."""
     t = x.shape[1]
     idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=1)
     d = 1
@@ -61,6 +66,8 @@ def _scan_body(x, f, reverse=False):
         x = xl * f + x
         f = fl * f
         d *= 2
+    if return_prod:
+        return x, f
     return x
 
 

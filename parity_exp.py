@@ -32,8 +32,10 @@ MODELS = {"R": "RecBLR", "S": "SASRec", "B": "BERT4Rec"}
 
 
 def ensure_dataset(data_path, name, markov=None, clusters=None, within=None,
-                   seed=2020):
-    path = os.path.join(data_path, name, f"{name}.inter")
+                   seed=2020, tag=""):
+    """Generate (or reuse) the stat-matched dataset.  Override runs
+    write to a tag-suffixed dataset dir so they can never be silently
+    reused as the preset distribution by a later untagged run."""
     overrides = {}
     if markov is not None:
         overrides["markov_weight"] = markov
@@ -41,9 +43,18 @@ def ensure_dataset(data_path, name, markov=None, clusters=None, within=None,
         overrides["n_clusters"] = clusters
     if within is not None:
         overrides["within_cluster"] = within
+    ds_name = name
+    if overrides:
+        suffix = tag or "_".join(
+            f"{k[0]}{v}" for k, v in sorted(overrides.items())
+        ).replace(".", "p")
+        ds_name = f"{name}_{suffix}"
+    path = os.path.join(data_path, ds_name, f"{ds_name}.inter")
     if overrides or not os.path.exists(path):
-        write_stat_matched_dataset(data_path, name, seed=seed, **overrides)
-    return path
+        write_stat_matched_dataset(
+            data_path, name, seed=seed, out_name=ds_name, **overrides
+        )
+    return ds_name
 
 
 def main():
@@ -58,18 +69,40 @@ def main():
     ap.add_argument("--within", default=None, choices=["pop", "uniform", "sqrt"],
                     help="override the preset's within_cluster mode")
     ap.add_argument("--tag", default="", help="suffix for artifact names")
+    ap.add_argument("--gen_seed", type=int, default=2020,
+                    help="generator seed (the calibration protocol in "
+                    "BASELINE.md calibrates at one seed and reports at "
+                    "a different one)")
     ap.add_argument("--out", default="artifacts/parity")
     ap.add_argument("--data_path", default="dataset")
     args = ap.parse_args()
 
-    ensure_dataset(args.data_path, args.dataset, args.markov, args.clusters,
-                   args.within)
+    ds_name = ensure_dataset(
+        args.data_path, args.dataset, args.markov, args.clusters,
+        args.within, seed=args.gen_seed, tag=args.tag,
+    )
+    if args.gen_seed != 2020 and ds_name == args.dataset:
+        # non-default seed, no overrides: still keep it out of the
+        # canonical dir
+        ds_name = f"{args.dataset}_s{args.gen_seed}"
+        write_stat_matched_dataset(
+            args.data_path, args.dataset, seed=args.gen_seed, out_name=ds_name
+        )
     os.makedirs(args.out, exist_ok=True)
     model_keys = list(MODELS) if args.model == "all" else [args.model]
 
+    # the exact generating parameters, for the artifact record
+    resolved = dict(STAT_PRESETS[args.dataset])
+    if args.markov is not None:
+        resolved["markov_weight"] = args.markov
+    if args.clusters is not None:
+        resolved["n_clusters"] = args.clusters
+    if args.within is not None:
+        resolved["within_cluster"] = args.within
+
     for key in model_keys:
         name = MODELS.get(key, key)
-        tag = f"{name}_{args.dataset}{('_' + args.tag) if args.tag else ''}"
+        tag = f"{name}_{ds_name}"
         overrides = {
             "data_path": args.data_path,
             "metrics_file": f"{args.out}/{tag}.jsonl",
@@ -82,15 +115,16 @@ def main():
             overrides.update(bd_lru_only=False, disable_conv1d=False,
                              disable_ffn=False)
         config = Config(
-            model=name, dataset=args.dataset,
+            model=name, dataset=ds_name,
             config_file_list=["config.yaml"], config_dict=overrides,
         )
         result = run_experiment(config, plot_prefix=tag, plot_dir=args.out)
         summary = {
             "model": name,
-            "dataset": args.dataset,
-            "markov_weight": args.markov
-            or STAT_PRESETS[args.dataset]["markov_weight"],
+            "dataset": ds_name,
+            "preset": args.dataset,
+            "gen_seed": args.gen_seed,
+            "generator_params": resolved,
             "best_valid": result["best_valid_result"],
             "test": result["test_result"],
             "wall_time_s": round(result["wall_time"], 1),

@@ -1,0 +1,98 @@
+"""Sequence-chunked fused layer vs the whole-T kernel and autodiff
+oracle (CPU interpret).  The chunked variant must reproduce the
+whole-T kernel's forward and gradients across chunk boundaries —
+recurrence carry, conv tail, and the reversed backward walk."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from datamining_recblr_tpu.config import Config
+from datamining_recblr_tpu.models.recblr import RecBLR
+from datamining_recblr_tpu.ops.fused_layer import fused_recurrent_layer
+from datamining_recblr_tpu.ops.fused_layer_chunked import (
+    fused_recurrent_layer_chunked,
+    pick_chunk,
+)
+
+B, T, D = 4, 24, 8
+
+
+def _params(use_ffn, rng=0):
+    model = RecBLR(
+        Config(
+            model="RecBLR",
+            config_dict={
+                "hidden_size": D,
+                "num_layers": 1,
+                "expand": 2,
+                "d_conv": 4,
+                "disable_ffn": not use_ffn,
+                "MAX_ITEM_LIST_LENGTH": T,
+            },
+        ),
+        n_items=50,
+        max_seq_len=T,
+    )
+    p = model.init_params(jax.random.PRNGKey(rng))
+    return model._flat_layer_params(p["layers"][0], use_ffn)
+
+
+def test_pick_chunk():
+    assert pick_chunk(1024) == 256
+    assert pick_chunk(200) == 200
+    assert pick_chunk(24, target=8) == 8
+
+
+@pytest.mark.parametrize("use_conv", [True, False])
+@pytest.mark.parametrize("use_ffn", [True, False])
+@pytest.mark.parametrize("prologue", [False, True])
+def test_chunked_matches_whole_t(use_conv, use_ffn, prologue):
+    flat = _params(use_ffn)
+    if prologue:
+        flat = dict(
+            flat,
+            pl_s=jnp.ones((D,), jnp.float32),
+            pl_b=jnp.zeros((D,), jnp.float32),
+        )
+    x = jax.random.normal(jax.random.PRNGKey(3), (B, T, D), jnp.float32)
+    seed = jnp.zeros((1,), jnp.int32)
+    dout = jax.random.normal(jax.random.PRNGKey(4), (B, T, D), jnp.float32)
+
+    def run_whole(x, flat):
+        out = fused_recurrent_layer(
+            x, seed, flat, use_conv, use_ffn, 0.0, False, prologue
+        )
+        return jnp.sum(out * dout)
+
+    def run_chunked(x, flat):
+        out = fused_recurrent_layer_chunked(
+            x, seed, flat, use_conv, use_ffn, 0.0, False, prologue, 8
+        )
+        return jnp.sum(out * dout)
+
+    ow, gw = jax.value_and_grad(run_whole, argnums=(0, 1))(x, flat)
+    oc, gc = jax.value_and_grad(run_chunked, argnums=(0, 1))(x, flat)
+    np.testing.assert_allclose(float(oc), float(ow), rtol=2e-5)
+    for (k, a), (_, b) in zip(
+        sorted(gc[1].items()), sorted(gw[1].items())
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5, err_msg=k
+        )
+    np.testing.assert_allclose(
+        np.asarray(gc[0]), np.asarray(gw[0]), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_chunked_single_chunk_degenerate():
+    """chunk == T collapses to the whole-T math exactly."""
+    flat = _params(True)
+    x = jax.random.normal(jax.random.PRNGKey(5), (B, T, D), jnp.float32)
+    seed = jnp.zeros((1,), jnp.int32)
+    a = fused_recurrent_layer_chunked(x, seed, flat, True, True, 0.0, False, False, T)
+    b = fused_recurrent_layer(x, seed, flat, True, True, 0.0, False, False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
