@@ -116,6 +116,60 @@ class Evaluator:
         self._eval_step = _eval_step
         self._eval_step_hist = _eval_step_hist
         self._eval_step_sampled = _eval_step_sampled
+        self._jit = jit
+        # device-resident split cache for the full-sort mode: the valid
+        # split is re-evaluated every epoch, so its arrays live on
+        # device once and the whole multi-batch evaluation runs as ONE
+        # jitted lax.map — no per-batch host->device upload and no
+        # per-batch dispatch round-trip (expensive on a remote TPU)
+        self._resident_cache = {}
+
+    def _resident_eval(self, split):
+        """(device_data, jitted whole-eval fn) for a split, cached."""
+        key = (id(split), len(split))
+        ent = self._resident_cache.get(key)
+        if ent is not None:
+            return ent
+        batches = list(iter_batches(split, self.batch_size))
+        data = {
+            k: np.concatenate([b[k] for b in batches])
+            for k in ("item_seq", "item_seq_len", "pos_item", "weight")
+        }
+        nb = len(batches)
+        bs = self.batch_size
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(self.mesh, P())
+            dsh = NamedSharding(self.mesh, P("data"))
+            data = {k: jax.device_put(jnp.asarray(v), repl) for k, v in data.items()}
+        else:
+            data = {k: jnp.asarray(v) for k, v in data.items()}
+
+        def one_batch(params, data, i):
+            b = {
+                k: jax.lax.dynamic_slice_in_dim(v, i * bs, bs, axis=0)
+                for k, v in data.items()
+            }
+            if self.mesh is not None:
+                b = {k: jax.lax.with_sharding_constraint(v, dsh) for k, v in b.items()}
+            scores = self.model.full_sort_scores(
+                params, b["item_seq"], b["item_seq_len"]
+            )
+            scores = mask_scores(scores)
+            ranks = target_ranks(scores, b["pos_item"])
+            return rank_metrics(ranks, self.metrics, self.topk, b["weight"])
+
+        @self._jit
+        def eval_all(params, data):
+            accs = jax.lax.map(
+                lambda i: one_batch(params, data, i), jnp.arange(nb)
+            )
+            return jax.tree.map(lambda a: jnp.sum(a, axis=0), accs)
+
+        ent = (data, eval_all)
+        self._resident_cache[key] = ent
+        return ent
 
     def set_item_popularity(self, counts):
         """counts: array of per-item interaction counts indexed by item
@@ -131,6 +185,15 @@ class Evaluator:
     def evaluate(self, params, split, history_fn=None) -> dict[str, float]:
         """Returns {"metric@k": value} averaged over real rows."""
         import numpy as np
+
+        if self.n_negatives is None and history_fn is None and len(split):
+            data, eval_all = self._resident_eval(split)
+            sums = eval_all(params, data)
+            out = {}
+            for k, (sv, wv) in sums.items():
+                w = float(wv)
+                out[k] = float(sv) / w if w else 0.0
+            return out
 
         sums = {}
         neg_rng = (
