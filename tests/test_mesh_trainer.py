@@ -102,3 +102,41 @@ def test_mesh_sampled_eval_matches_single(synth_data, tmp_path):
         np.testing.assert_allclose(
             results["mesh"][k], results["single"][k], rtol=1e-5, err_msg=k
         )
+
+
+def test_resident_eval_matches_streaming_and_mesh(synth_data, tmp_path):
+    """The device-resident one-shot evaluator (one jitted lax.map over
+    all batches) must produce IDENTICAL metrics to the per-batch
+    streaming path, unmeshed and under the mesh."""
+    from datamining_recblr_tpu.eval.evaluator import Evaluator
+
+    cfg = _cfg(tmp_path)
+    model = get_model("RecBLR")(cfg, synth_data.n_items, synth_data.max_seq_len)
+    params = model.init_params(jax.random.PRNGKey(3))
+    ev = Evaluator(model, cfg)
+    res_resident = ev.evaluate(params, synth_data.valid)
+
+    # the streaming path is still what history_fn uses — an all-False
+    # history mask is a no-op, so it computes the same metrics
+    n_items = synth_data.n_items
+
+    def no_hist(user_ids):
+        return np.zeros((len(user_ids), n_items), bool)
+
+    res_stream = ev.evaluate(params, synth_data.valid, history_fn=no_hist)
+    assert set(res_resident) == set(res_stream)
+    for k in res_resident:
+        np.testing.assert_allclose(res_resident[k], res_stream[k], rtol=1e-6)
+
+    # under the mesh: resident metrics equal the unmeshed ones
+    from datamining_recblr_tpu.parallel import make_mesh
+    from datamining_recblr_tpu.parallel.sharding import shard_params
+
+    cfg_m = _cfg(tmp_path, mesh_shape={"data": 4, "model": 2})
+    model_m = get_model("RecBLR")(cfg_m, synth_data.n_items, synth_data.max_seq_len)
+    mesh = make_mesh({"data": 4, "model": 2})
+    model_m.mesh = mesh
+    ev_m = Evaluator(model_m, cfg_m, mesh=mesh)
+    res_mesh = ev_m.evaluate(shard_params(params, mesh), synth_data.valid)
+    for k in res_resident:
+        np.testing.assert_allclose(res_mesh[k], res_resident[k], rtol=1e-5)
