@@ -218,14 +218,15 @@ class RecBLR(SequentialModel):
         # long-context path: whole-layer fusion with the sequence tiled
         # into chunks and the recurrence carried across them
         # (ops/fused_layer_chunked.py) — keeps XLong-scale T on the
-        # fused path instead of the partially-fused fallback.  Single
-        # device only (the mesh wrappers cover the <=512 kernels).
+        # fused path instead of the partially-fused fallback.  Under a
+        # data mesh the same shard_map wrappers as the <=512 kernels
+        # apply; a seq axis routes to ops/seq_parallel_scan instead.
         return (
             self.scan_impl != "xla"
             and self.hidden_size <= 128
             and self.inner_hidden <= 128
             and self.max_seq_len > 512
-            and self.mesh is None
+            and self._seq_shards() == 1
             and (self.scan_impl == "pallas" or jax.default_backend() == "tpu")
         )
 

@@ -96,3 +96,49 @@ def test_chunked_single_chunk_degenerate():
     a = fused_recurrent_layer_chunked(x, seed, flat, True, True, 0.0, False, False, T)
     b = fused_recurrent_layer(x, seed, flat, True, True, 0.0, False, False)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
+
+
+def test_chunked_model_under_mesh_matches_unmeshed():
+    """T>512 chunked path under a data mesh (shard_map wrappers) must
+    reproduce the unmeshed chunked model forward."""
+    import numpy as _np
+
+    from datamining_recblr_tpu.parallel import make_mesh, shard_batch
+    from datamining_recblr_tpu.parallel.sharding import shard_params
+
+    T_LONG, n_items, b = 528, 64, 16
+    cfg = Config(
+        model="RecBLR",
+        config_dict={
+            "hidden_size": 16,
+            "num_layers": 2,
+            "use_pallas_scan": "always",
+            "dropout_prob": 0.0,
+            "MAX_ITEM_LIST_LENGTH": T_LONG,
+            "mesh_shape": {"data": 4, "model": 2},
+        },
+    )
+    mesh = make_mesh({"data": 4, "model": 2})
+    model_m = RecBLR(cfg, n_items=n_items, max_seq_len=T_LONG)
+    model_m.mesh = mesh
+    model_u = RecBLR(cfg, n_items=n_items, max_seq_len=T_LONG)
+    assert model_m._use_chunked_layer() and model_u._use_chunked_layer()
+
+    params = model_u.init_params(jax.random.PRNGKey(0))
+    rng = _np.random.default_rng(0)
+    seqs = _np.zeros((b, T_LONG), _np.int32)
+    lens = rng.integers(2, T_LONG + 1, size=b).astype(_np.int32)
+    for i, ln in enumerate(lens):
+        seqs[i, :ln] = rng.integers(1, n_items, size=ln)
+    batch = {"item_seq": jnp.asarray(seqs), "item_seq_len": jnp.asarray(lens)}
+    sharded = shard_batch(batch, mesh)
+
+    out_m = jax.jit(
+        lambda p, s, l: model_m.forward(p, s, l, deterministic=True)
+    )(shard_params(params, mesh), sharded["item_seq"], sharded["item_seq_len"])
+    out_u = model_u.forward(
+        params, batch["item_seq"], batch["item_seq_len"], deterministic=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_m), np.asarray(out_u), rtol=5e-4, atol=5e-5
+    )
