@@ -130,20 +130,32 @@ def _bwd_xla(flat_ids, flat_g, v: int, d: int):
     return out
 
 
+def _bwd_scatter(flat_ids, flat_g, v: int, d: int):
+    """Plain XLA scatter-add (fp32 accumulate).  O(N*D) work vs the
+    one-hot matmul's O(N*V*D) FLOPs: the scatter is ~flat in V
+    (N-bound) while the matmul grows linearly, so beyond the crossover
+    vocabulary the serial scatter wins outright."""
+    return (
+        jnp.zeros((v, d), jnp.float32).at[flat_ids].add(flat_g.astype(jnp.float32))
+    )
+
+
+# Measured on v5e, D=64 (round 3): V=3417/N=409600 -> scatter 3.19 ms,
+# one-hot 1.16, hi/lo Pallas 1.81; V=10544/N=409600 -> 3.20 / 3.59 /
+# 3.89; V=20000/N=524288 -> 4.16 / 9.46 / 12.97.  The one-hot matmul
+# is FLOP-bound in N*V and loses to the N-bound scatter at V ~>= 9000;
+# the hi/lo Pallas kernel never wins on this jax version and is kept
+# only for the record (benchmarks/emb_grad.py).
+_SCATTER_MIN_V = 9000
+
+
 def _bwd(res, grad):
     table, ids = res
     v, d = table.shape
     flat_ids = ids.reshape(-1)
     flat_g = grad.reshape(-1, d)
-    # measured crossover on v5e (N=409600, D=64): XLA's fused one-hot
-    # wins to ~V=7000, the Pallas hi/lo kernel beyond
-    if (
-        jax.default_backend() == "tpu"
-        and v >= 7000
-        and d >= 8
-        and d & (d - 1) == 0
-    ):
-        out = _bwd_pallas(flat_ids, flat_g, v, d)
+    if v >= _SCATTER_MIN_V:
+        out = _bwd_scatter(flat_ids, flat_g, v, d)
     else:
         out = _bwd_xla(flat_ids, flat_g, v, d)
     return out.astype(table.dtype), None

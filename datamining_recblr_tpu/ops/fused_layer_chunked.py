@@ -63,9 +63,11 @@ def _full_spec2(shape):
     )
 
 
-def pick_chunk(t: int, target: int = 256) -> int:
+def pick_chunk(t: int, target: int = 128) -> int:
     """Largest divisor of ``t`` that is <= target (sequence chunks must
-    tile T exactly; static shapes keep one compiled program)."""
+    tile T exactly; static shapes keep one compiled program).  128 keeps
+    8-row batch blocks — measured fastest on v5e at T=1024 (9.68 ms
+    fwd+bwd vs 9.91 at chunk 256 / 10.24 at 512)."""
     best = 1
     for d in range(1, t + 1):
         if t % d == 0 and d <= target:
