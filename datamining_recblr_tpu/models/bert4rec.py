@@ -76,10 +76,10 @@ class BERT4Rec(SequentialModel):
             # shapes (and saves nothing) — use the full path
             select = None
         x = self.embed(params, item_seq).astype(self.compute_dtype)
-        x = x + params["position_embedding"][:t].astype(self.compute_dtype)
+        # the positional-embedding add is fused into the prologue kernel
         x, rng = L.prologue_ln_dropout(
             params["input_ln"], x, self.hidden_dropout_prob, deterministic, rng,
-            mesh=self.mesh,
+            mesh=self.mesh, pos=params["position_embedding"][:t],
         )
         mask = L.attention_mask(item_seq, bidirectional=True)
         lens = jnp.sum((item_seq != 0).astype(jnp.int32), axis=1)

@@ -165,12 +165,15 @@ def _data_shard_map(mesh, n_batch, fn):
     return call
 
 
-def prologue_ln_dropout(ln_params, x, dropout_p, deterministic, rng, mesh=None):
-    """dropout(LN(x)) — the attention baselines' embedding prologue
-    (reference sasrec.py:104-105 order).  On the TPU it runs as one
-    Pallas kernel with in-kernel PRNG (ops/fused_layer.fused_ln_dropout
-    — XLA's composition materializes rng bits + keep mask + f32 stats
-    in HBM); elsewhere the plain composition.  Returns (x, rng)."""
+def prologue_ln_dropout(ln_params, x, dropout_p, deterministic, rng, mesh=None,
+                        pos=None):
+    """dropout(LN(x + pos)) — the attention baselines' embedding
+    prologue (reference sasrec.py:102-105 order; ``pos`` is the [T, D]
+    positional-embedding table, added in the same pass).  On the TPU it
+    runs as one Pallas kernel with in-kernel PRNG
+    (ops/fused_layer.fused_ln_dropout — XLA's composition materializes
+    the pos-add round-trip, rng bits, keep mask and f32 stats in HBM);
+    elsewhere the plain composition.  Returns (x, rng)."""
     if _use_fused_attention() and x.shape[-1] <= 512:
         from datamining_recblr_tpu.ops.fused_layer import fused_ln_dropout
 
@@ -181,15 +184,22 @@ def prologue_ln_dropout(ln_params, x, dropout_p, deterministic, rng, mesh=None):
             seed = jax.random.randint(k_seed, (1,), 0, 2**31 - 1, dtype=jnp.int32)
         else:
             seed = jnp.zeros((1,), jnp.int32)
+        if pos is None:
+            pos = jnp.zeros((x.shape[1], x.shape[2]), jnp.float32)
         x = _data_shard_map(
             mesh, 1,
-            lambda xs, s, scale, bias: fused_ln_dropout(xs, s, scale, bias, p),
+            lambda xs, s, p_, scale, bias: fused_ln_dropout(
+                xs, p_, s, scale, bias, p
+            ),
         )(
             x, seed,
+            pos.astype(jnp.float32),
             ln_params["scale"].astype(jnp.float32),
             ln_params["bias"].astype(jnp.float32),
         )
         return x, rng
+    if pos is not None:
+        x = x + pos.astype(x.dtype)
     x = layer_norm(ln_params, x)
     if rng is not None:
         rng, sub = jax.random.split(rng)

@@ -45,11 +45,11 @@ class SASRec(SequentialModel):
     def forward(self, params, item_seq, item_seq_len, *, deterministic=True, rng=None):
         t = item_seq.shape[1]
         x = self.embed(params, item_seq).astype(self.compute_dtype)
-        x = x + params["position_embedding"][:t].astype(self.compute_dtype)
-        # LN then dropout (reference sasrec.py:104-105 order)
+        # LN then dropout (reference sasrec.py:104-105 order); the
+        # positional-embedding add is fused into the prologue kernel
         x, rng = L.prologue_ln_dropout(
             params["input_ln"], x, self.hidden_dropout_prob, deterministic, rng,
-            mesh=self.mesh,
+            mesh=self.mesh, pos=params["position_embedding"][:t],
         )
         mask = L.attention_mask(item_seq, bidirectional=False)
         lens = jnp.sum((item_seq != 0).astype(jnp.int32), axis=1)

@@ -1027,10 +1027,11 @@ fused_dropout_ln.defvjp(_dln_vjp_fwd, _dln_vjp_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _ln_dropout_fwd_kernel(seed_ref, x_ref, s_ref, b_ref, o_ref, *, keep_prob):
+def _ln_dropout_fwd_kernel(seed_ref, x_ref, pos_ref, s_ref, b_ref, o_ref, *,
+                           keep_prob):
     if keep_prob < 1.0:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    x = x_ref[:].astype(jnp.float32)
+    x = x_ref[:].astype(jnp.float32) + pos_ref[:].astype(jnp.float32)[None]
     out, _, _ = _ln_fwd(x, s_ref[:].astype(jnp.float32), b_ref[:].astype(jnp.float32))
     if keep_prob < 1.0:
         out = out * _dropout_mask(out.shape, keep_prob)
@@ -1038,12 +1039,13 @@ def _ln_dropout_fwd_kernel(seed_ref, x_ref, s_ref, b_ref, o_ref, *, keep_prob):
 
 
 def _ln_dropout_bwd_kernel(
-    seed_ref, x_ref, dout_ref, s_ref, b_ref, dx_ref, ds_ref, db_ref, *, keep_prob
+    seed_ref, x_ref, pos_ref, dout_ref, s_ref, b_ref, dx_ref, ds_ref, db_ref,
+    dp_ref, *, keep_prob
 ):
     first = pl.program_id(0) == 0
     if keep_prob < 1.0:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    x = x_ref[:].astype(jnp.float32)
+    x = x_ref[:].astype(jnp.float32) + pos_ref[:].astype(jnp.float32)[None]
     dout = dout_ref[:].astype(jnp.float32)
     scale = s_ref[:].astype(jnp.float32)
     bias = b_ref[:].astype(jnp.float32)
@@ -1057,13 +1059,15 @@ def _ln_dropout_bwd_kernel(
     def _():
         ds_ref[:] = jnp.zeros_like(ds_ref)
         db_ref[:] = jnp.zeros_like(db_ref)
+        dp_ref[:] = jnp.zeros_like(dp_ref)
 
     ds_ref[:] += dscale
     db_ref[:] += dbias
+    dp_ref[:] += jnp.sum(dv, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("dropout_p",))
-def _ln_dropout_fwd(x, seed, scale, bias, dropout_p):
+def _ln_dropout_fwd(x, pos, seed, scale, bias, dropout_p):
     b, t, d = x.shape
     bt = _block_rows(t, _FWD_BUDGET)
     xp = _pad_to(x, 0, bt, 0.0)
@@ -1076,18 +1080,19 @@ def _ln_dropout_fwd(x, seed, scale, bias, dropout_p):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             block,
+            _full_spec(pos.shape),
             _full_spec(scale.shape),
             _full_spec(bias.shape),
         ],
         out_specs=block,
         interpret=_interpret(1.0 - dropout_p),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-    )(seed, xp, scale, bias)
+    )(seed, xp, pos, scale, bias)
     return out[:b]
 
 
 @functools.partial(jax.jit, static_argnames=("dropout_p",))
-def _ln_dropout_bwd(x, dout, seed, scale, bias, dropout_p):
+def _ln_dropout_bwd(x, pos, dout, seed, scale, bias, dropout_p):
     b, t, d = x.shape
     bt = _block_rows(t, _FWD_BUDGET)
     xp = _pad_to(x, 0, bt, 0.0)
@@ -1100,39 +1105,50 @@ def _ln_dropout_bwd(x, dout, seed, scale, bias, dropout_p):
             jax.ShapeDtypeStruct((bp, t, d), x.dtype),
             jax.ShapeDtypeStruct(scale.shape, jnp.float32),
             jax.ShapeDtypeStruct(scale.shape, jnp.float32),
+            jax.ShapeDtypeStruct(pos.shape, jnp.float32),
         ),
         grid=(bp // bt,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             block,
+            _full_spec(pos.shape),
             block,
             _full_spec(scale.shape),
             _full_spec(scale.shape),
         ],
-        out_specs=(block, _full_spec(scale.shape), _full_spec(scale.shape)),
+        out_specs=(
+            block, _full_spec(scale.shape), _full_spec(scale.shape),
+            _full_spec(pos.shape),
+        ),
         interpret=_interpret(1.0 - dropout_p),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-    )(seed, xp, dp, scale, bias)
-    return outs[0][:b], outs[1], outs[2]
+    )(seed, xp, pos, dp, scale, bias)
+    return outs[0][:b], outs[1], outs[2], outs[3]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def fused_ln_dropout(x, seed, scale, bias, dropout_p):
-    """dropout(LN(x)) as one Pallas kernel (in-kernel PRNG; the
-    backward replays the identical mask).  Same contract as
-    fused_dropout_ln with the composition order reversed — the
-    attention baselines' prologue (reference sasrec.py:104-105)."""
-    return _ln_dropout_fwd(x, seed, scale, bias, dropout_p)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_ln_dropout(x, pos, seed, scale, bias, dropout_p):
+    """dropout(LN(x + pos)) as one Pallas kernel (in-kernel PRNG; the
+    backward replays the identical mask).  The attention baselines'
+    prologue (reference sasrec.py:102-105): the positional-embedding
+    add rides the same VMEM pass instead of a separate [B, T, D] HBM
+    round-trip; ``pos`` is [T, D] (its grad is the batch-sum,
+    accumulated across the grid)."""
+    return _ln_dropout_fwd(x, pos, seed, scale, bias, dropout_p)
 
 
-def _lnd_vjp_fwd(x, seed, scale, bias, dropout_p):
-    return _ln_dropout_fwd(x, seed, scale, bias, dropout_p), (x, seed, scale, bias)
+def _lnd_vjp_fwd(x, pos, seed, scale, bias, dropout_p):
+    return _ln_dropout_fwd(x, pos, seed, scale, bias, dropout_p), (
+        x, pos, seed, scale, bias,
+    )
 
 
 def _lnd_vjp_bwd(dropout_p, res, dout):
-    x, seed, scale, bias = res
-    dx, dscale, dbias = _ln_dropout_bwd(x, dout, seed, scale, bias, dropout_p)
-    return dx, None, dscale, dbias
+    x, pos, seed, scale, bias = res
+    dx, dscale, dbias, dpos = _ln_dropout_bwd(
+        x, pos, dout, seed, scale, bias, dropout_p
+    )
+    return dx, dpos, None, dscale, dbias
 
 
 fused_ln_dropout.defvjp(_lnd_vjp_fwd, _lnd_vjp_bwd)

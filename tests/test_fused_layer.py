@@ -337,14 +337,21 @@ def test_fused_ln_dropout_forward_and_vjp():
     seed = jnp.zeros((1,), jnp.int32)
     cot = jnp.asarray(rng.standard_normal((5, 12, D)).astype(np.float32))
 
-    got = fused_ln_dropout(x, seed, s, b, 0.0)
+    pos = jnp.asarray(0.3 * rng.standard_normal((12, D)).astype(np.float32))
+    got = fused_ln_dropout(x, pos, seed, s, b, 0.0)
     np.testing.assert_allclose(
-        np.asarray(got), np.asarray(_ln_ref(x, s, b)), rtol=3e-5, atol=3e-5
+        np.asarray(got), np.asarray(_ln_ref(x + pos[None], s, b)),
+        rtol=3e-5, atol=3e-5,
     )
 
-    _, vjp_f = jax.vjp(lambda x_, s_, b_: fused_ln_dropout(x_, seed, s_, b_, 0.0), x, s, b)
-    _, vjp_u = jax.vjp(lambda x_, s_, b_: _ln_ref(x_, s_, b_), x, s, b)
-    for gf, gu, name in zip(vjp_f(cot), vjp_u(cot), ("dx", "dscale", "dbias")):
+    _, vjp_f = jax.vjp(
+        lambda x_, p_, s_, b_: fused_ln_dropout(x_, p_, seed, s_, b_, 0.0),
+        x, pos, s, b,
+    )
+    _, vjp_u = jax.vjp(
+        lambda x_, p_, s_, b_: _ln_ref(x_ + p_[None], s_, b_), x, pos, s, b
+    )
+    for gf, gu, name in zip(vjp_f(cot), vjp_u(cot), ("dx", "dpos", "dscale", "dbias")):
         np.testing.assert_allclose(
             np.asarray(gf), np.asarray(gu), rtol=5e-4, atol=5e-5, err_msg=name
         )
@@ -359,12 +366,13 @@ def test_fused_ln_dropout_mask_replay():
     b = jnp.zeros((D,), jnp.float32)
     seed = jnp.asarray([77], jnp.int32)
 
-    out1 = fused_ln_dropout(x, seed, s, b, 0.4)
-    out2 = fused_ln_dropout(x, seed, s, b, 0.4)
+    pos0 = jnp.zeros((6, D), jnp.float32)
+    out1 = fused_ln_dropout(x, pos0, seed, s, b, 0.4)
+    out2 = fused_ln_dropout(x, pos0, seed, s, b, 0.4)
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
 
     def loss(x_):
-        return jnp.sum(jnp.sin(fused_ln_dropout(x_, seed, s, b, 0.4)))
+        return jnp.sum(jnp.sin(fused_ln_dropout(x_, pos0, seed, s, b, 0.4)))
 
     g = jax.grad(loss)(x)
     eps = 1e-3
