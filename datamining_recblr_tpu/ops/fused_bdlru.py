@@ -69,8 +69,12 @@ def _block_rows(t: int, budget: int) -> int:
     return bt
 
 
-_FWD_BUDGET = 2048   # rows*T; measured-safe on v5e (16MB VMEM)
+_FWD_BUDGET = 2048   # rows*T; measured-safe on v5e
 _BWD_BUDGET = 1600
+# v5e VMEM is 128 MiB; the default scoped limit (16 MiB) OOMs the
+# backward's ~24 live [bt, T, C] f32 arrays at T=2048 even at 1-row
+# blocks — ask for most of the chip like ops/fused_layer.py does
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def _shift_right(x, j, fill=0.0):
@@ -260,6 +264,7 @@ def _fused_fwd(x, wc, bc, wg, bg, lam, use_conv, mm_bf16=False):
         ],
         out_specs=block,
         interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(xp, wc, bc, wg, bg, lam)
     return h[:b]
 
@@ -300,6 +305,7 @@ def _fused_bwd(x, dh, wc, bc, wg, bg, lam, use_conv, mm_bf16=False):
             _full_spec(lam.shape),
         ),
         interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(xp, dhp, wc, bc, wg, bg, lam)
     dx, dwc, dbc, dwg, dbg, dlam = outs
     return dx[:b], dwc, dbc, dwg, dbg, dlam
