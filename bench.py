@@ -86,6 +86,62 @@ def eval_main(model_name: str = "RecBLR"):
     )
 
 
+def serve_main(model_name: str = "RecBLR"):
+    """Serving latency: p50 of Recommender.recommend for a single user
+    and throughput at batch 256 (full-catalog scoring + top-k through
+    the jitted serving step, host round-trip included).
+
+    Caveat for this environment: the axon remote-TPU tunnel's
+    dispatch+fetch round trip alone measures ~25 ms p50, so the
+    single-user latency here is ~2 RTTs + ~1-2 ms of compute; on a
+    locally-attached chip the RTT term vanishes."""
+    from datamining_recblr_tpu.config import Config
+    from datamining_recblr_tpu.models import get_model
+    from datamining_recblr_tpu.serve import Recommender
+
+    on_tpu = jax.default_backend() == "tpu"
+    n_items, max_len = 3417, 200
+    cfg = Config(
+        model=model_name,
+        config_dict={
+            "MAX_ITEM_LIST_LENGTH": max_len,
+            "compute_dtype": "bfloat16" if on_tpu else "float32",
+        },
+    )
+    model = get_model(model_name)(cfg, n_items=n_items, max_seq_len=max_len)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rec = Recommender(model, params, top_k=10)
+    rng = np.random.default_rng(0)
+
+    def seqs(b):
+        return [
+            list(rng.integers(1, n_items, size=rng.integers(2, max_len)))
+            for _ in range(b)
+        ]
+
+    reps = 50 if on_tpu else 3
+    for b, metric in ((1, "p50_latency_ms"), (256, "batch256_users_per_s")):
+        batch = seqs(b)
+        rec.recommend(batch)  # compile
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            ids, scores = rec.recommend(batch)
+            times.append(time.perf_counter() - t0)
+        med = sorted(times)[len(times) // 2]
+        value = round(med * 1e3, 3) if b == 1 else round(b / med, 1)
+        print(
+            json.dumps(
+                {
+                    "metric": f"{model_name.lower()}_serve_{metric}",
+                    "value": value,
+                    "unit": "ms" if b == 1 else "users/s",
+                    "vs_baseline": 0.0,
+                }
+            )
+        )
+
+
 def main(model_name: str = "RecBLR", mesh_shape: dict | None = None):
     from datamining_recblr_tpu.config import Config
     from datamining_recblr_tpu.data.synthetic import synthetic_splits
@@ -217,8 +273,9 @@ if __name__ == "__main__":
         "then the headline RecBLR metric LAST so the driver parses it)",
     )
     ap.add_argument(
-        "--phase", default="train", choices=["train", "eval"],
-        help="train step throughput (default) or full-sort eval users/s",
+        "--phase", default="train", choices=["train", "eval", "serve"],
+        help="train step throughput (default), full-sort eval users/s, "
+        "or serving latency/throughput",
     )
     ap.add_argument(
         "--mesh", default=None,
@@ -229,6 +286,8 @@ if __name__ == "__main__":
     mesh_shape = _parse_mesh(args.mesh) if args.mesh else None
     if args.phase == "eval":
         eval_main(args.model or "RecBLR")
+    elif args.phase == "serve":
+        serve_main(args.model or "RecBLR")
     elif args.model is not None:
         main(args.model, mesh_shape)
     else:
