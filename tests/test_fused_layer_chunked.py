@@ -42,8 +42,9 @@ def _params(use_ffn, rng=0):
 
 
 def test_pick_chunk():
-    assert pick_chunk(1024) == 256
-    assert pick_chunk(200) == 200
+    assert pick_chunk(1024) == 128  # default target 128: 8-row blocks
+    assert pick_chunk(1024, target=256) == 256
+    assert pick_chunk(200) == 100
     assert pick_chunk(24, target=8) == 8
 
 
