@@ -243,7 +243,11 @@ def main(model_name: str = "RecBLR", mesh_shape: dict | None = None):
     examples_per_s = batch * (2 * steps) / dt
 
     assert np.isfinite(loss), "training diverged"
-    tag = "_mesh1" if mesh_shape else ""
+    tag = (
+        "_mesh_" + "_".join(f"{k}{v}" for k, v in sorted(mesh_shape.items()))
+        if mesh_shape
+        else ""
+    )
     print(
         json.dumps(
             {

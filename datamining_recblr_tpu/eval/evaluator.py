@@ -125,11 +125,18 @@ class Evaluator:
         self._resident_cache = {}
 
     def _resident_eval(self, split):
-        """(device_data, jitted whole-eval fn) for a split, cached."""
-        key = (id(split), len(split))
+        """(device_data, jitted whole-eval fn) for a split, cached.
+
+        The entry holds a strong reference to the split object, so its
+        id() can never be recycled onto a different split while the
+        cache entry lives; the cache is capped (FIFO) so one-off splits
+        don't pin device memory forever."""
+        key = id(split)
         ent = self._resident_cache.get(key)
-        if ent is not None:
-            return ent
+        if ent is not None and ent[0] is split:
+            return ent[1], ent[2]
+        if len(self._resident_cache) >= 4:
+            self._resident_cache.pop(next(iter(self._resident_cache)))
         batches = list(iter_batches(split, self.batch_size))
         data = {
             k: np.concatenate([b[k] for b in batches])
@@ -167,9 +174,8 @@ class Evaluator:
             )
             return jax.tree.map(lambda a: jnp.sum(a, axis=0), accs)
 
-        ent = (data, eval_all)
-        self._resident_cache[key] = ent
-        return ent
+        self._resident_cache[key] = (split, data, eval_all)
+        return data, eval_all
 
     def set_item_popularity(self, counts):
         """counts: array of per-item interaction counts indexed by item

@@ -105,7 +105,7 @@ class SequentialModel:
         idx = jnp.arange(logits.shape[-1])[None, :]
         return jnp.where(idx < self.n_items, logits, value)
 
-    def _use_fused_ce(self, v, d, rows, table_rows=None):
+    def _use_fused_ce(self, v, d, rows, table_rows=None, bias_rows=None):
         """Fused softmax-CE kernel gate: TPU only, the [V, D] table must
         fit VMEM, and the loss must have enough rows — measured on v5e
         (benchmarks/ce_ab.py, B=2048 T=200 V=3417): at 2048 rows XLA CE
@@ -128,6 +128,11 @@ class SequentialModel:
         if DATA_AXIS not in self.mesh.shape:
             return False
         if rows_sharded(table_rows if table_rows is not None else v, self.mesh):
+            return False
+        # a vocab-sharded bias (BERT4Rec's output_bias is sharded
+        # independently of the n_items+1 table) would be all-gathered
+        # into the shard_map every step — keep the GSPMD path instead
+        if bias_rows is not None and rows_sharded(bias_rows, self.mesh):
             return False
         shard_rows = rows // self.mesh.shape[DATA_AXIS]
         return shard_rows >= fused_ce.MIN_ROWS

@@ -201,7 +201,8 @@ class BERT4Rec(SequentialModel):
 
         h = sel_out.shape[-1]
         if self._use_fused_ce(
-            self.n_items, h, rows=b * mask_len, table_rows=self.n_items + 1
+            self.n_items, h, rows=b * mask_len,
+            table_rows=self.n_items + 1, bias_rows=self.n_items,
         ):
             from datamining_recblr_tpu.ops.fused_ce import fused_softmax_ce
 

@@ -221,12 +221,18 @@ class RecBLR(SequentialModel):
         # fused path instead of the partially-fused fallback.  Under a
         # data mesh the same shard_map wrappers as the <=512 kernels
         # apply; a seq axis routes to ops/seq_parallel_scan instead.
+        # pick_chunk()==0 (no divisor of T in [8, 128], e.g. prime T)
+        # or d_conv > 8 fall back to the partially-fused path.
+        from datamining_recblr_tpu.ops.fused_layer_chunked import pick_chunk
+
         return (
             self.scan_impl != "xla"
             and self.hidden_size <= 128
             and self.inner_hidden <= 128
             and self.max_seq_len > 512
             and self._seq_shards() == 1
+            and pick_chunk(self.max_seq_len) >= max(8, self.d_conv)
+            and self.d_conv <= 8
             and (self.scan_impl == "pallas" or jax.default_backend() == "tpu")
         )
 
@@ -309,98 +315,44 @@ class RecBLR(SequentialModel):
             use_ffn = not self.disable_ffn
             mm_bf16 = self._mm_bf16()
 
-            if self.mesh is not None and "data" in self.mesh.shape:
-                # under a mesh, run the kernel per-shard over the data
-                # axis via shard_map (pallas has no GSPMD partitioning
-                # rule); fold the device index into the dropout seed so
-                # shards draw independent masks
-                import functools as _ft
-
-                from jax.sharding import PartitionSpec as _P
-
-                @_ft.partial(
-                    jax.shard_map,
-                    mesh=self.mesh,
-                    in_specs=(_P("data"), _P(), _P(), _P()),
-                    out_specs=_P("data"),
-                    check_vma=False,
-                )
-                def _prologue_sharded(xs, seed, s, b):
-                    seed = seed + jax.lax.axis_index("data").astype(jnp.int32) * 1000003
-                    return fused_dropout_ln(xs, seed, s, b, p_drop)
-
-                def _make_layer_sharded(prologue):
-                    @_ft.partial(
-                        jax.shard_map,
-                        mesh=self.mesh,
-                        in_specs=(_P("data"), _P(), _P()),
-                        out_specs=_P("data"),
-                        check_vma=False,
-                    )
-                    def _layer_sharded(xs, seed, flat):
-                        seed = seed + jax.lax.axis_index("data").astype(jnp.int32) * 1000003
-                        return fused_recurrent_layer(
-                            xs, seed, flat, use_conv, use_ffn, p_drop, mm_bf16,
-                            prologue,
-                        )
-
-                    return _layer_sharded
-
-                @_ft.partial(
-                    jax.shard_map,
-                    mesh=self.mesh,
-                    in_specs=(_P("data"), _P("data"), _P(), _P()),
-                    out_specs=_P("data"),
-                    check_vma=False,
-                )
-                def _layer_last_sharded(xs, lens, seed, flat):
-                    seed = seed + jax.lax.axis_index("data").astype(jnp.int32) * 1000003
-                    return fused_recurrent_layer_last(
-                        xs, lens, seed, flat, use_conv, use_ffn, p_drop, mm_bf16
-                    )
-
-                n_layers = len(params["layers"])
-                # with >= 2 layers the prologue fuses into layer 0's
-                # kernel; a 1-layer model keeps the standalone kernel
-                # (the last-position kernel has no prologue support)
-                fuse_pro = n_layers >= 2
-                if not fuse_pro:
-                    x = _prologue_sharded(x, seeds[-1], ln_s, ln_b)
-                for li, layer in enumerate(params["layers"]):
-                    flat = self._flat_layer_params(layer, use_ffn)
-                    if li == n_layers - 1:
-                        # top layer: only the last position is consumed
-                        return _layer_last_sharded(x, item_seq_len, seeds[li], flat)
-                    if fuse_pro and li == 0:
-                        flat = dict(flat, pl_s=ln_s, pl_b=ln_b)
-                        x = _make_layer_sharded(True)(x, seeds[li], flat)
-                    else:
-                        x = _make_layer_sharded(False)(x, seeds[li], flat)
-                return L.gather_last(x, item_seq_len)
-
+            # one code path for meshed and unmeshed execution:
+            # L._data_shard_map wraps each kernel in shard_map over the
+            # data axis (with per-device dropout-seed offsets) when a
+            # data mesh is active, and passes the call through untouched
+            # otherwise
+            dsm = lambda n_batch, fn: L._data_shard_map(self.mesh, n_batch, fn)  # noqa: E731
             n_layers = len(params["layers"])
-            # with >= 2 layers the prologue fuses into layer 0's kernel
+            # with >= 2 layers the prologue fuses into layer 0's kernel;
+            # a 1-layer model keeps the standalone kernel (the
+            # last-position kernel has no prologue support)
             fuse_pro = n_layers >= 2
             if not fuse_pro:
-                x = fused_dropout_ln(x, seeds[-1], ln_s, ln_b, p_drop)
+                x = dsm(
+                    1, lambda xs, s, a, b: fused_dropout_ln(xs, s, a, b, p_drop)
+                )(x, seeds[-1], ln_s, ln_b)
             # the last-position kernel holds full [bt, T, C] in VMEM;
-            # it fits to T=1024 at 2-row blocks (measured v5e) — beyond,
-            # the top layer runs the chunked kernel + gather
+            # it fits to T=1024 (measured v5e) — beyond, the top layer
+            # runs the chunked kernel + gather
             last_ok = self.max_seq_len <= 1024
             for li, layer in enumerate(params["layers"]):
                 flat = self._flat_layer_params(layer, use_ffn)
                 if li == n_layers - 1 and last_ok:
                     # top layer: only the last position is consumed
-                    return fused_recurrent_layer_last(
-                        x, item_seq_len, seeds[li], flat,
-                        use_conv, use_ffn, p_drop, mm_bf16,
-                    )
+                    return dsm(
+                        2,
+                        lambda xs, ls, s, f: fused_recurrent_layer_last(
+                            xs, ls, s, f, use_conv, use_ffn, p_drop, mm_bf16
+                        ),
+                    )(x, item_seq_len, seeds[li], flat)
                 pro = fuse_pro and li == 0
                 if pro:
                     flat = dict(flat, pl_s=ln_s, pl_b=ln_b)
-                x = fused_recurrent_layer(
-                    x, seeds[li], flat, use_conv, use_ffn, p_drop, mm_bf16, pro
-                )
+                x = dsm(
+                    1,
+                    lambda xs, s, f, pro=pro: fused_recurrent_layer(
+                        xs, s, f, use_conv, use_ffn, p_drop, mm_bf16, pro
+                    ),
+                )(x, seeds[li], flat)
             return L.gather_last(x, item_seq_len)
 
         n_layers = len(params["layers"])

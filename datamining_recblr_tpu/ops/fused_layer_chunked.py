@@ -64,13 +64,15 @@ def _full_spec2(shape):
 
 
 def pick_chunk(t: int, target: int = 128) -> int:
-    """Largest divisor of ``t`` that is <= target (sequence chunks must
-    tile T exactly; static shapes keep one compiled program).  128 keeps
-    8-row batch blocks — measured fastest on v5e at T=1024 (9.68 ms
-    fwd+bwd vs 9.91 at chunk 256 / 10.24 at 512)."""
-    best = 1
-    for d in range(1, t + 1):
-        if t % d == 0 and d <= target:
+    """Largest divisor of ``t`` in [8, target] (sequence chunks must
+    tile T exactly and hold at least a conv window / a sublane tile);
+    returns 0 when no such divisor exists (e.g. prime T) — callers gate
+    the chunked path off and fall back.  Target 128 keeps 8-row batch
+    blocks — measured fastest on v5e at T=1024 (9.68 ms fwd+bwd vs
+    9.91 at chunk 256 / 10.24 at 512)."""
+    best = 0
+    for d in range(8, min(t, target) + 1):
+        if t % d == 0:
             best = d
     return best
 
@@ -372,12 +374,18 @@ def _chunked_fwd(x, seed, params, use_conv, use_ffn, dropout_p,
                  mm_bf16=False, prologue=False, chunk=0, block_rows=0):
     b, t, d = x.shape
     tc = chunk or pick_chunk(t)
+    kk = params["wc"].shape[0]
+    if not (kk <= 8 and 8 <= tc <= t and t % tc == 0 and tc >= kk):
+        raise ValueError(
+            f"chunked layer kernel needs a chunk in [8, T] dividing T "
+            f"and d_conv <= 8 (got T={t}, chunk={tc}, d_conv={kk}); "
+            "gate via pick_chunk() and fall back"
+        )
     bt = block_rows or _chunk_block_rows(tc)
     nc = t // tc
     names = _param_names(use_ffn, prologue)
     plist = [params[n] for n in names]
     c = params["w_in"].shape[1] // 2
-    kk = params["wc"].shape[0]
     xp = _pad_to(x, 0, bt, 0.0)
     bp = xp.shape[0]
     xblock = pl.BlockSpec((bt, tc, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
@@ -487,8 +495,8 @@ def fused_recurrent_layer_chunked(x, seed, params, use_conv, use_ffn,
     same contract as ``fused_recurrent_layer`` (x [B, T, D], int32[1]
     seed, fp32 param dict) but T is tiled into ``chunk``-length pieces
     with the recurrence carried across them, so long-context shapes
-    (T=1024+) fit VMEM.  ``chunk=0`` picks the largest divisor of T
-    <= 256."""
+    (T=1024+) fit VMEM.  ``chunk=0`` picks the largest divisor of T in
+    [8, 128] (see pick_chunk)."""
     out, _ = _chunked_fwd(
         x, seed, params, use_conv, use_ffn, dropout_p, mm_bf16,
         prologue=prologue, chunk=chunk,

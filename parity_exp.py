@@ -33,9 +33,11 @@ MODELS = {"R": "RecBLR", "S": "SASRec", "B": "BERT4Rec"}
 
 def ensure_dataset(data_path, name, markov=None, clusters=None, within=None,
                    seed=2020, tag=""):
-    """Generate (or reuse) the stat-matched dataset.  Override runs
-    write to a tag-suffixed dataset dir so they can never be silently
-    reused as the preset distribution by a later untagged run."""
+    """Generate (or reuse) the stat-matched dataset.  Any deviation
+    from the canonical preset — generator overrides OR a non-default
+    seed — writes to a suffixed dataset dir, so the canonical
+    ``<name>/`` data can never be silently produced or replaced by a
+    non-canonical run."""
     overrides = {}
     if markov is not None:
         overrides["markov_weight"] = markov
@@ -49,6 +51,8 @@ def ensure_dataset(data_path, name, markov=None, clusters=None, within=None,
             f"{k[0]}{v}" for k, v in sorted(overrides.items())
         ).replace(".", "p")
         ds_name = f"{name}_{suffix}"
+    if seed != 2020 and not tag:
+        ds_name = f"{ds_name}_s{seed}"
     path = os.path.join(data_path, ds_name, f"{ds_name}.inter")
     if overrides or not os.path.exists(path):
         write_stat_matched_dataset(
@@ -81,13 +85,6 @@ def main():
         args.data_path, args.dataset, args.markov, args.clusters,
         args.within, seed=args.gen_seed, tag=args.tag,
     )
-    if args.gen_seed != 2020 and ds_name == args.dataset:
-        # non-default seed, no overrides: still keep it out of the
-        # canonical dir
-        ds_name = f"{args.dataset}_s{args.gen_seed}"
-        write_stat_matched_dataset(
-            args.data_path, args.dataset, seed=args.gen_seed, out_name=ds_name
-        )
     os.makedirs(args.out, exist_ok=True)
     model_keys = list(MODELS) if args.model == "all" else [args.model]
 
@@ -102,7 +99,12 @@ def main():
 
     for key in model_keys:
         name = MODELS.get(key, key)
+        # --tag always lands in the artifact names, even when the
+        # dataset name didn't absorb it (no generator overrides) — a
+        # tagged re-run must never clobber the canonical artifacts
         tag = f"{name}_{ds_name}"
+        if args.tag and args.tag not in ds_name:
+            tag = f"{tag}_{args.tag}"
         overrides = {
             "data_path": args.data_path,
             "metrics_file": f"{args.out}/{tag}.jsonl",
