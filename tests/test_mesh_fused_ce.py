@@ -134,3 +134,32 @@ def test_fused_transformer_under_mesh_matches_unfused(name, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=5e-3, atol=2e-4
         )
+
+
+def test_fused_ce_gate_respects_sharding(monkeypatch):
+    """The fused-CE mesh gate must refuse when the table OR the bias
+    would be row-sharded over the model axis, and scale MIN_ROWS by the
+    data-axis size."""
+    import jax as _jax
+
+    from datamining_recblr_tpu.models.base import SequentialModel
+    from datamining_recblr_tpu.ops import fused_ce
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    cfg = Config(model="RecBLR", config_dict={"MAX_ITEM_LIST_LENGTH": 8})
+    m = SequentialModel(cfg, n_items=3417, max_seq_len=8)
+
+    rows = fused_ce.MIN_ROWS * 4
+    # unmeshed: rows gate only
+    assert m._use_fused_ce(3417, 64, rows)
+    assert not m._use_fused_ce(3417, 64, fused_ce.MIN_ROWS - 1)
+
+    m.mesh = make_mesh({"data": 4, "model": 2})
+    # table rows divisible by model axis -> row-sharded -> refuse
+    assert not m._use_fused_ce(3418, 64, rows, table_rows=3418)
+    # replicated table (odd rows), bias sharded (even rows) -> refuse
+    assert not m._use_fused_ce(3417, 64, rows, table_rows=3419, bias_rows=3418)
+    # replicated table AND bias -> allowed when per-shard rows suffice
+    assert m._use_fused_ce(3417, 64, rows, table_rows=3419, bias_rows=3417)
+    assert not m._use_fused_ce(3417, 64, fused_ce.MIN_ROWS * 2,
+                               table_rows=3419, bias_rows=3417)
