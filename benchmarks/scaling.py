@@ -148,7 +148,10 @@ def bench_mesh(mesh_shape, batch, steps, n_items=3417, max_len=200):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=2048)
-    ap.add_argument("--steps", type=int, default=20)
+    # 30+ steps: shorter windows under-resolve the differential timing
+    # on the remote TPU (20-step runs measured an impossible 224k ex/s
+    # single / 153k mesh in round 3; 30-step runs agree with bench.py)
+    ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--model-axis", type=int, default=1)
     args = ap.parse_args()
 
