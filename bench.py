@@ -35,7 +35,9 @@ def eval_main(model_name: str = "RecBLR"):
 
     on_tpu = jax.default_backend() == "tpu"
     batch = 4096 if on_tpu else 128  # reference eval batch (config.yaml:41)
-    steps = 20 if on_tpu else 2
+    # 40+ steps: short windows under-resolve differential timing on the
+    # remote TPU (see benchmarks/scaling.py note)
+    steps = 40 if on_tpu else 2
     n_items, max_len = 3417, 200
 
     cfg = Config(
@@ -48,7 +50,8 @@ def eval_main(model_name: str = "RecBLR"):
     )
     model = get_model(model_name)(cfg, n_items=n_items, max_seq_len=max_len)
     params = model.init_params(jax.random.PRNGKey(0))
-    _, evald = synthetic_splits(6040, n_items, max_len, batch * 2, seed=0)
+    evald, _ = synthetic_splits(6040, n_items, max_len, batch * 2, seed=0)
+    assert len(evald.item_seq) >= batch, "eval bench needs >= batch rows"
     seqs = jnp.asarray(evald.item_seq[:batch])
     lens = jnp.asarray(evald.item_seq_len[:batch])
 
