@@ -194,7 +194,9 @@ class Evaluator:
 
         if self.n_negatives is None and history_fn is None and len(split):
             data, eval_all = self._resident_eval(split)
-            sums = eval_all(params, data)
+            # one host transfer for ALL accumulators: per-scalar float()
+            # fetches cost a full round-trip each on a remote TPU
+            sums = jax.device_get(eval_all(params, data))
             out = {}
             for k, (sv, wv) in sums.items():
                 w = float(wv)
@@ -289,6 +291,7 @@ class Evaluator:
             for key, (sv, wv) in acc.items():
                 cur = sums.get(key)
                 sums[key] = (sv, wv) if cur is None else (cur[0] + sv, cur[1] + wv)
+        sums = jax.device_get(sums)  # one transfer for all accumulators
         out = {}
         for k, (sv, wv) in sums.items():
             w = float(wv)
