@@ -73,6 +73,26 @@ def _dropout_mask(shape, keep_prob):
     return jnp.where(keep, 1.0 / keep_prob, 0.0)
 
 
+def _draw_masks(bt, t, d, dff, keep_prob, use_ffn, prologue):
+    """Draw ALL the layer's dropout masks upfront, in the fixed order
+    m0 (prologue), m1 (post-W_out), m2 (FFN inner), m3 (FFN out).
+
+    The PRNG stream depends only on the seed and the draw sequence, so
+    drawing upfront yields bit-identical masks to drawing at the point
+    of use — and lets the dual-chain backward replay two independent
+    half-blocks without interleaving their PRNG streams."""
+    masks = {}
+    if keep_prob >= 1.0:
+        return masks
+    if prologue:
+        masks["m0"] = _dropout_mask((bt, t, d), keep_prob)
+    masks["m1"] = _dropout_mask((bt, t, d), keep_prob)
+    if use_ffn:
+        masks["m2"] = _dropout_mask((bt, t, dff), keep_prob)
+        masks["m3"] = _dropout_mask((bt, t, d), keep_prob)
+    return masks
+
+
 def _ln_fwd(v, scale, bias):
     mu = jnp.mean(v, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(v - mu), axis=-1, keepdims=True)
@@ -119,18 +139,25 @@ def _mmT(a, b):
     )
 
 
-def _layer_fwd_core(x, p, *, use_conv, use_ffn, keep_prob, seeded, mm_bf16=False):
-    """Shared forward math on an f32 [BT, T, D] block.  Returns every
-    intermediate the backward needs (recomputed there)."""
+def _layer_fwd_core(x, p, masks, *, use_conv, use_ffn, mm_bf16=False,
+                    want_stash=False):
+    """Shared forward math on an f32 [BT, T, D] block.  ``masks`` holds
+    the pre-drawn scaled dropout masks (empty dict = no dropout).
+    ``want_stash`` additionally computes the silu' coefficient the
+    stashing backward consumes (2 extra mul-adds)."""
     _mm = _make_mm(mm_bf16)
     bt, t, d = x.shape
     x2 = x.reshape(bt * t, d)
     xz = _mm(x2, p["w_in"]).reshape(bt, t, -1)
     c = xz.shape[-1] // 2
     xb, z = xz[..., :c], xz[..., c:]
+    dsilu_u = None
     if use_conv:
         u = _conv_fwd(xb, p["wc"], p["bc"])
-        xc = _silu(u)
+        sg_u = fastmath.sigmoid(u)
+        xc = u * sg_u
+        if want_stash and "dsilu_u" in _STASH_SET:
+            dsilu_u = sg_u * (1.0 + u * (1.0 - sg_u))
     else:
         u = xb
         xc = xb
@@ -141,9 +168,8 @@ def _layer_fwd_core(x, p, *, use_conv, use_ffn, keep_prob, seeded, mm_bf16=False
     yin = (gate * h).reshape(bt * t, c)
     y = _mm(yin, p["w_out"]).reshape(bt, t, d)
 
-    if seeded and keep_prob < 1.0:
-        m1 = _dropout_mask(y.shape, keep_prob)
-        y = y * m1
+    if "m1" in masks:
+        y = y * masks["m1"]
     r1_in = y + x
     r1, vhat1, inv1 = _ln_fwd(r1_in, p["ln1_s"], p["ln1_b"])
 
@@ -151,6 +177,7 @@ def _layer_fwd_core(x, p, *, use_conv, use_ffn, keep_prob, seeded, mm_bf16=False
         return dict(
             xb=xb, z=z, u=u, xc=xc, alpha=alpha, beta=beta, sr=sr, si=si,
             s=s, h=h, sz=sz, gate=gate, vhat1=vhat1, inv1=inv1, out=r1,
+            dsilu_u=dsilu_u,
         )
 
     r1f = r1.reshape(bt * t, d)
@@ -158,16 +185,14 @@ def _layer_fwd_core(x, p, *, use_conv, use_ffn, keep_prob, seeded, mm_bf16=False
     f1 = f1.reshape(bt, t, -1)
     sf1 = fastmath.sigmoid(f1)
     a1 = f1 * sf1  # silu
-    if seeded and keep_prob < 1.0:
-        m2 = _dropout_mask(a1.shape, keep_prob)
-        a1d = a1 * m2
+    if "m2" in masks:
+        a1d = a1 * masks["m2"]
     else:
         a1d = a1
     f2 = _mm(a1d.reshape(bt * t, -1), p["w2"]) + p["b2"]
     f2 = f2.reshape(bt, t, d)
-    if seeded and keep_prob < 1.0:
-        m3 = _dropout_mask(f2.shape, keep_prob)
-        f2d = f2 * m3
+    if "m3" in masks:
+        f2d = f2 * masks["m3"]
     else:
         f2d = f2
     out, vhat2, inv2 = _ln_fwd(f2d + r1, p["ln2_s"], p["ln2_b"])
@@ -175,6 +200,7 @@ def _layer_fwd_core(x, p, *, use_conv, use_ffn, keep_prob, seeded, mm_bf16=False
         xb=xb, z=z, u=u, xc=xc, alpha=alpha, beta=beta, sr=sr, si=si, s=s,
         h=h, sz=sz, gate=gate, vhat1=vhat1, inv1=inv1, r1=r1, f1=f1,
         sf1=sf1, a1=a1, a1d=a1d, vhat2=vhat2, inv2=inv2, out=out,
+        dsilu_u=dsilu_u,
     )
 
 
@@ -187,6 +213,28 @@ def _param_names(use_ffn, prologue=False):
     return names
 
 
+# Which forward intermediates the stashing forward saves to HBM for the
+# backward.  Measured on v5e (B=2048, T=200): the FULL set (alpha, beta,
+# sr, si, s, h, xc, dsilu_u, sf1 = ~8 MB per 8-row block) costs MORE in
+# exposed forward write-DMA (+1.55 ms) than the backward recompute it
+# removes (-0.46 ms) — HBM writes do not hide like reads do
+# (benchmarks/dma probe: <= 8 big READ inputs are free).  The winning
+# set is just ``h``: one 800 KB write skips the whole forward scan in
+# the backward (the single longest serial chain, ~1.6 us/block).
+_STASH_SET = frozenset({"h"})
+
+
+def _stash_names(use_conv, use_ffn):
+    """Forward intermediates the stashing backward consumes instead of
+    recomputing.  All [bt, T, C] f32 except sf1 [bt, T, 4D]."""
+    names = ["alpha", "beta", "sr", "si", "s", "h", "xc"]
+    if use_conv:
+        names.append("dsilu_u")
+    if use_ffn:
+        names.append("sf1")
+    return [n for n in names if n in _STASH_SET]
+
+
 def _params_from_refs(refs, use_ffn, prologue=False):
     return {
         n: r[:].astype(jnp.float32)
@@ -195,95 +243,96 @@ def _params_from_refs(refs, use_ffn, prologue=False):
 
 
 def _fwd_kernel(seed_ref, x_ref, *refs, use_conv, use_ffn, keep_prob, mm_bf16,
-                prologue=False):
-    out_ref = refs[-1]
-    param_refs = refs[:-1]
-    if keep_prob < 1.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+                prologue=False, stash=False):
+    n_params = (15 if use_ffn else 9) + (2 if prologue else 0)
+    param_refs = refs[:n_params]
+    out_ref = refs[n_params]
+    stash_refs = refs[n_params + 1 :]
     x = x_ref[:].astype(jnp.float32)
     p = _params_from_refs(param_refs, use_ffn, prologue)
+    bt, t, d = x.shape
+    dff = p["w1"].shape[1] if use_ffn else 0
+    if keep_prob < 1.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    masks = _draw_masks(bt, t, d, dff, keep_prob, use_ffn, prologue)
     if prologue:
         # embedding prologue fused in: dropout THEN LayerNorm
         # (reference RecBLR.py:76-78); this mask is the FIRST PRNG draw
-        if keep_prob < 1.0:
-            x = x * _dropout_mask(x.shape, keep_prob)
+        if "m0" in masks:
+            x = x * masks["m0"]
         x, _, _ = _ln_fwd(x, p["pl_s"], p["pl_b"])
     res = _layer_fwd_core(
-        x, p, use_conv=use_conv, use_ffn=use_ffn,
-        keep_prob=keep_prob, seeded=True, mm_bf16=mm_bf16,
+        x, p, masks, use_conv=use_conv, use_ffn=use_ffn, mm_bf16=mm_bf16,
+        want_stash=stash,
     )
     out_ref[:] = res["out"].astype(out_ref.dtype)
+    if stash:
+        for name, ref in zip(_stash_names(use_conv, use_ffn), stash_refs):
+            ref[:] = res[name]
 
 
-def _bwd_kernel(
-    seed_ref, x_ref, dout_ref, *refs, use_conv, use_ffn, keep_prob, mm_bf16,
-    prologue=False
-):
-    n_params = (15 if use_ffn else 9) + (2 if prologue else 0)
-    param_refs = refs[:n_params]
-    dx_ref = refs[n_params]
-    grad_refs = refs[n_params + 1 :]
-    first = pl.program_id(0) == 0
+def _bwd_core(x, dout, p, masks, *, use_conv, use_ffn, mm_bf16, prologue,
+              stash=None):
+    """Pure backward math on one f32 [bt, T, D] block: recomputes the
+    forward from x and the pre-drawn ``masks``, returns (dx, grads).
+    With ``stash`` (dict of forward intermediates saved to HBM by the
+    stashing forward), the expensive recompute chains — gate
+    transcendentals, conv+silu, the forward scan, the FFN sigmoid — are
+    skipped; benchmarks/bwd_anatomy.py showed the kernel is bound by
+    exactly these elementwise passes (all matmuls removed: -4%).
+    Pure so the multi-chain kernel can run independent copies whose
+    instructions the Mosaic scheduler may overlap across the MXU/VPU
+    (benchmarks/unit_overlap.py: 0.92 overlap fraction on v5e)."""
     _mm = _make_mm(mm_bf16)
-
-    if keep_prob < 1.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    x = x_ref[:].astype(jnp.float32)
-    dout = dout_ref[:].astype(jnp.float32)
-    p = _params_from_refs(param_refs, use_ffn, prologue)
+    m0 = masks.get("m0")
+    m1 = masks.get("m1")
+    m2 = masks.get("m2")
+    m3 = masks.get("m3")
     if prologue:
-        if keep_prob < 1.0:
-            m0 = _dropout_mask(x.shape, keep_prob)
-            xd = x * m0
-        else:
-            m0 = None
-            xd = x
+        xd = x * m0 if m0 is not None else x
         x, vhat0, inv0 = _ln_fwd(xd, p["pl_s"], p["pl_b"])
     bt, t, d = x.shape
 
-    # --- recompute forward, regenerating identical dropout masks -------
+    # --- recompute forward with the replayed dropout masks -------------
     x2 = x.reshape(bt * t, d)
     xz = _mm(x2, p["w_in"]).reshape(bt, t, -1)
     c = xz.shape[-1] // 2
     xb, z = xz[..., :c], xz[..., c:]
+    stash = stash or {}
     if use_conv:
-        u = _conv_fwd(xb, p["wc"], p["bc"])
-        sg_u = fastmath.sigmoid(u)
-        xc = u * sg_u
+        if "xc" in stash and "dsilu_u" in stash:
+            xc = stash["xc"]
+        else:
+            u = _conv_fwd(xb, p["wc"], p["bc"])
+            sg_u = fastmath.sigmoid(u)
+            xc = stash.get("xc", u * sg_u)
     else:
         xc = xb
-    alpha, beta, sr, si, s = _gate_math(xc, p["wg"], p["bg"], p["lam"], mm_bf16)
-    h = _scan_body(beta * xc, alpha)
+    if "alpha" in stash:
+        alpha, beta, sr, si, s = (
+            stash["alpha"], stash["beta"], stash["sr"], stash["si"],
+            stash["s"],
+        )
+    else:
+        alpha, beta, sr, si, s = _gate_math(
+            xc, p["wg"], p["bg"], p["lam"], mm_bf16
+        )
+    h = stash["h"] if "h" in stash else _scan_body(beta * xc, alpha)
     sz = fastmath.sigmoid(z)
     gate = z * sz
     yin = (gate * h).reshape(bt * t, c)
     y = _mm(yin, p["w_out"]).reshape(bt, t, d)
-    if keep_prob < 1.0:
-        m1 = _dropout_mask(y.shape, keep_prob)
-        yd = y * m1
-    else:
-        m1 = None
-        yd = y
+    yd = y * m1 if m1 is not None else y
     r1, vhat1, inv1 = _ln_fwd(yd + x, p["ln1_s"], p["ln1_b"])
 
     if use_ffn:
         r1f = r1.reshape(bt * t, d)
         f1 = (_mm(r1f, p["w1"]) + p["b1"]).reshape(bt, t, -1)
-        sf1 = fastmath.sigmoid(f1)
+        sf1 = stash["sf1"] if "sf1" in stash else fastmath.sigmoid(f1)
         a1 = f1 * sf1
-        if keep_prob < 1.0:
-            m2 = _dropout_mask(a1.shape, keep_prob)
-            a1d = a1 * m2
-        else:
-            m2 = None
-            a1d = a1
+        a1d = a1 * m2 if m2 is not None else a1
         f2 = (_mm(a1d.reshape(bt * t, -1), p["w2"]) + p["b2"]).reshape(bt, t, d)
-        if keep_prob < 1.0:
-            m3 = _dropout_mask(f2.shape, keep_prob)
-            f2d = f2 * m3
-        else:
-            m3 = None
-            f2d = f2
+        f2d = f2 * m3 if m3 is not None else f2
         _, vhat2, inv2 = _ln_fwd(f2d + r1, p["ln2_s"], p["ln2_b"])
 
     # --- backward ------------------------------------------------------
@@ -339,7 +388,10 @@ def _bwd_kernel(
 
     if use_conv:
         kk = p["wc"].shape[0]
-        du = dxc * sg_u * (1.0 + u * (1.0 - sg_u))
+        if "dsilu_u" in stash:
+            du = dxc * stash["dsilu_u"]
+        else:
+            du = dxc * sg_u * (1.0 + u * (1.0 - sg_u))
         dxb = du * p["wc"][kk - 1]
         for j in range(1, kk):
             dxb = dxb + _shift_left(du, j) * p["wc"][kk - 1 - j]
@@ -361,6 +413,39 @@ def _bwd_kernel(
     if prologue:
         dv0, grads["pl_s"], grads["pl_b"] = _ln_bwd(dx, vhat0, inv0, p["pl_s"])
         dx = dv0 * m0 if m0 is not None else dv0
+    return dx, grads
+
+
+def _bwd_kernel(
+    seed_ref, x_ref, dout_ref, *refs, use_conv, use_ffn, keep_prob, mm_bf16,
+    prologue=False, stash=False
+):
+    n_stash = len(_stash_names(use_conv, use_ffn)) if stash else 0
+    stash_refs = refs[:n_stash]
+    refs = refs[n_stash:]
+    n_params = (15 if use_ffn else 9) + (2 if prologue else 0)
+    param_refs = refs[:n_params]
+    dx_ref = refs[n_params]
+    grad_refs = refs[n_params + 1 :]
+    first = pl.program_id(0) == 0
+
+    x = x_ref[:].astype(jnp.float32)
+    dout = dout_ref[:].astype(jnp.float32)
+    p = _params_from_refs(param_refs, use_ffn, prologue)
+    bt, t, d = x.shape
+    dff = p["w1"].shape[1] if use_ffn else 0
+    if keep_prob < 1.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    masks = _draw_masks(bt, t, d, dff, keep_prob, use_ffn, prologue)
+    stash_vals = (
+        {n: r[:] for n, r in zip(_stash_names(use_conv, use_ffn), stash_refs)}
+        if stash
+        else None
+    )
+    dx, grads = _bwd_core(
+        x, dout, p, masks, use_conv=use_conv, use_ffn=use_ffn,
+        mm_bf16=mm_bf16, prologue=prologue, stash=stash_vals,
+    )
     dx_ref[:] = dx.astype(dx_ref.dtype)
 
     names = _param_names(use_ffn, prologue)
@@ -372,6 +457,65 @@ def _bwd_kernel(
 
     for name, ref in zip(names, grad_refs):
         ref[:] += grads[name]
+
+
+def _bwd_kernel_multi(
+    seed_ref, x_ref, dout_ref, *refs, use_conv, use_ffn, keep_prob, mm_bf16,
+    prologue=False, chains=2
+):
+    """Multi-chain backward: one program covers ``chains`` forward
+    blocks (chains*bt rows) and runs that many fully independent copies
+    of ``_bwd_core``.  Independence lets the Mosaic scheduler overlap
+    one chain's VPU work with another's MXU matmuls
+    (benchmarks/unit_overlap.py: 0.92 overlap fraction on independent
+    chains).  Each chain seeds the PRNG with the seed of the forward
+    8-row block it replays (chains*pid + i) and draws its masks
+    upfront, so masks stay bit-identical to the single-chain
+    forward's."""
+    n_params = (15 if use_ffn else 9) + (2 if prologue else 0)
+    param_refs = refs[:n_params]
+    dx_ref = refs[n_params]
+    grad_refs = refs[n_params + 1 :]
+    first = pl.program_id(0) == 0
+
+    x = x_ref[:].astype(jnp.float32)
+    dout = dout_ref[:].astype(jnp.float32)
+    p = _params_from_refs(param_refs, use_ffn, prologue)
+    btn, t, d = x.shape
+    bt = btn // chains
+    dff = p["w1"].shape[1] if use_ffn else 0
+    parts = []
+    for hix in range(chains):
+        if keep_prob < 1.0:
+            pltpu.prng_seed(seed_ref[0] + chains * pl.program_id(0) + hix)
+        masks = _draw_masks(bt, t, d, dff, keep_prob, use_ffn, prologue)
+        parts.append(
+            (x[hix * bt : (hix + 1) * bt], dout[hix * bt : (hix + 1) * bt],
+             masks)
+        )
+    results = [
+        _bwd_core(
+            xi, di, p, mi, use_conv=use_conv, use_ffn=use_ffn,
+            mm_bf16=mm_bf16, prologue=prologue,
+        )
+        for xi, di, mi in parts
+    ]
+    dx_ref[:] = jnp.concatenate(
+        [r[0] for r in results], axis=0
+    ).astype(dx_ref.dtype)
+
+    names = _param_names(use_ffn, prologue)
+
+    @pl.when(first)
+    def _():
+        for ref in grad_refs:
+            ref[:] = jnp.zeros_like(ref)
+
+    for name, ref in zip(names, grad_refs):
+        acc = results[0][1][name]
+        for r in results[1:]:
+            acc = acc + r[1][name]
+        ref[:] += acc
 
 
 def _interpret(keep_prob=1.0):
@@ -403,13 +547,19 @@ _PARAM_NAMES = [
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
+def _stash_widths(params, use_conv, use_ffn):
+    c = params["w_in"].shape[1] // 2
+    dff = params["w1"].shape[1] if use_ffn else 0
+    return [dff if n == "sf1" else c for n in _stash_names(use_conv, use_ffn)]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("use_conv", "use_ffn", "dropout_p", "mm_bf16", "block_rows",
-                     "prologue"),
+                     "prologue", "stash"),
 )
 def _layer_fwd(x, seed, params, use_conv, use_ffn, dropout_p, mm_bf16=False,
-               block_rows=0, prologue=False):
+               block_rows=0, prologue=False, stash=False):
     b, t, d = x.shape
     bt = block_rows or _block_rows(t, _FWD_BUDGET)
     xp = _pad_to(x, 0, bt, 0.0)
@@ -417,56 +567,96 @@ def _layer_fwd(x, seed, params, use_conv, use_ffn, dropout_p, mm_bf16=False,
     block = pl.BlockSpec((bt, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     names = _param_names(use_ffn, prologue)
     plist = [params[n] for n in names]
+    if stash:
+        widths = _stash_widths(params, use_conv, use_ffn)
+        stash_shapes = [
+            jax.ShapeDtypeStruct((bp, t, w), jnp.float32) for w in widths
+        ]
+        stash_specs = [
+            pl.BlockSpec((bt, t, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for w in widths
+        ]
+        out_shape = (jax.ShapeDtypeStruct((bp, t, d), x.dtype), *stash_shapes)
+        out_specs = (block, *stash_specs)
+    else:
+        out_shape = jax.ShapeDtypeStruct((bp, t, d), x.dtype)
+        out_specs = block
     out = pl.pallas_call(
         functools.partial(
             _fwd_kernel,
             use_conv=use_conv, use_ffn=use_ffn, keep_prob=1.0 - dropout_p,
-            mm_bf16=mm_bf16, prologue=prologue,
+            mm_bf16=mm_bf16, prologue=prologue, stash=stash,
         ),
-        out_shape=jax.ShapeDtypeStruct((bp, t, d), x.dtype),
+        out_shape=out_shape,
         grid=(bp // bt,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             block,
             *[_full_spec(p.shape) for p in plist],
         ],
-        out_specs=block,
+        out_specs=out_specs,
         interpret=_interpret(1.0 - dropout_p),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(seed, xp, *plist)
+    if stash:
+        return out[0][:b], tuple(o[:b] for o in out[1:])
     return out[:b]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("use_conv", "use_ffn", "dropout_p", "mm_bf16", "block_rows",
-                     "prologue"),
+                     "prologue", "dual", "chains"),
 )
 def _layer_bwd(x, dout, seed, params, use_conv, use_ffn, dropout_p, mm_bf16=False,
-               block_rows=0, prologue=False):
+               block_rows=0, prologue=False, dual=False, chains=0,
+               stash_vals=None):
     b, t, d = x.shape
     bt = block_rows or _block_rows(t, _BWD_BUDGET, _BWD_CAP)
-    xp = _pad_to(x, 0, bt, 0.0)
-    dp = _pad_to(dout, 0, bt, 0.0)
+    nch = chains or (2 if dual else 1)
+    if stash_vals is not None:
+        nch = 1  # stash layout is per-forward-block; single chain
+    rows = nch * bt
+    xp = _pad_to(x, 0, rows, 0.0)
+    dp = _pad_to(dout, 0, rows, 0.0)
     bp = xp.shape[0]
-    block = pl.BlockSpec((bt, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    block = pl.BlockSpec((rows, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     names = _param_names(use_ffn, prologue)
     plist = [params[n] for n in names]
+    stash_in = []
+    stash_specs = []
+    if stash_vals is not None:
+        for sv in stash_vals:
+            w = sv.shape[-1]
+            # pad value 1.0: padded rows carry dout == 0 so their grads
+            # vanish, but a zero-padded stash "s" would hit the
+            # d_beta*si*alpha/s division as 0 * inf = NaN
+            stash_in.append(_pad_to(sv, 0, rows, 1.0))
+            stash_specs.append(
+                pl.BlockSpec((rows, t, w), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+            )
     outs = pl.pallas_call(
         functools.partial(
-            _bwd_kernel,
+            _bwd_kernel_multi, chains=nch,
             use_conv=use_conv, use_ffn=use_ffn, keep_prob=1.0 - dropout_p,
             mm_bf16=mm_bf16, prologue=prologue,
+        ) if nch > 1 else functools.partial(
+            _bwd_kernel,
+            use_conv=use_conv, use_ffn=use_ffn, keep_prob=1.0 - dropout_p,
+            mm_bf16=mm_bf16, prologue=prologue, stash=stash_vals is not None,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bp, t, d), x.dtype),
             *[jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in plist],
         ),
-        grid=(bp // bt,),
+        grid=(bp // rows,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             block,
             block,
+            *stash_specs,
             *[_full_spec(p.shape) for p in plist],
         ],
         out_specs=(
@@ -475,7 +665,7 @@ def _layer_bwd(x, dout, seed, params, use_conv, use_ffn, dropout_p, mm_bf16=Fals
         ),
         interpret=_interpret(1.0 - dropout_p),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-    )(seed, xp, dp, *plist)
+    )(seed, xp, dp, *stash_in, *plist)
     dx = outs[0][:b]
     dparams = {n: g for n, g in zip(names, outs[1:])}
     return dx, dparams
@@ -500,17 +690,32 @@ def fused_recurrent_layer(x, seed, params, use_conv, use_ffn, dropout_p,
                       prologue=prologue)
 
 
+def _stash_policy(t: int) -> bool:
+    """Stash forward intermediates for the backward iff the sequence is
+    short enough that the stash HBM footprint stays modest (~10 MB per
+    8-row block at T=200; scales linearly in T).  Beyond T=256 the
+    recompute backward is kept — the chunked kernel owns T>=512
+    anyway."""
+    return t <= 256
+
+
 def _vjp_fwd(x, seed, params, use_conv, use_ffn, dropout_p, mm_bf16, prologue):
+    if _stash_policy(x.shape[1]):
+        out, stash = _layer_fwd(
+            x, seed, params, use_conv, use_ffn, dropout_p, mm_bf16,
+            prologue=prologue, stash=True,
+        )
+        return out, (x, seed, params, stash)
     out = _layer_fwd(x, seed, params, use_conv, use_ffn, dropout_p, mm_bf16,
                      prologue=prologue)
-    return out, (x, seed, params)
+    return out, (x, seed, params, None)
 
 
 def _vjp_bwd(use_conv, use_ffn, dropout_p, mm_bf16, prologue, res, dout):
-    x, seed, params = res
+    x, seed, params, stash = res
     dx, dparams = _layer_bwd(
         x, dout, seed, params, use_conv, use_ffn, dropout_p, mm_bf16,
-        prologue=prologue,
+        prologue=prologue, stash_vals=stash,
     )
     return dx, None, dparams
 
@@ -559,7 +764,7 @@ def _select_last(m, v):
 
 
 def _layer_last_fwd_core(x, lens, p, *, use_conv, use_ffn, keep_prob,
-                         seeded, mm_bf16=False):
+                         seeded, mm_bf16=False, want_h=False):
     """Forward returning only the last-position output [bt, 1, D].
 
     The z branch is consumed only at each row's last position, so only
@@ -590,7 +795,7 @@ def _layer_last_fwd_core(x, lens, p, *, use_conv, use_ffn, keep_prob,
         yl = yl * _dropout_mask(yl.shape, keep_prob)
     r1, vhat1, inv1 = _ln_fwd(yl + xl, p["ln1_s"], p["ln1_b"])
     if not use_ffn:
-        return r1
+        return (r1, h) if want_h else r1
     f1 = (_mm(r1.reshape(bt, d), p["w1"]) + p["b1"]).reshape(bt, 1, -1)
     sf1 = fastmath.sigmoid(f1)
     a1 = f1 * sf1
@@ -600,28 +805,33 @@ def _layer_last_fwd_core(x, lens, p, *, use_conv, use_ffn, keep_prob,
     if seeded and keep_prob < 1.0:
         f2 = f2 * _dropout_mask(f2.shape, keep_prob)
     out, _, _ = _ln_fwd(f2 + r1, p["ln2_s"], p["ln2_b"])
-    return out
+    return (out, h) if want_h else out
 
 
 def _last_fwd_kernel(seed_ref, x_ref, lens_ref, *refs, use_conv, use_ffn,
-                     keep_prob, mm_bf16):
-    out_ref = refs[-1]
-    param_refs = refs[:-1]
+                     keep_prob, mm_bf16, stash=False):
+    n_params = 15 if use_ffn else 9
+    param_refs = refs[:n_params]
+    out_ref = refs[n_params]
     if keep_prob < 1.0:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     x = x_ref[:].astype(jnp.float32)
     p = _params_from_refs(param_refs, use_ffn)
-    out = _layer_last_fwd_core(
+    out, h = _layer_last_fwd_core(
         x, lens_ref[:], p, use_conv=use_conv, use_ffn=use_ffn,
-        keep_prob=keep_prob, seeded=True, mm_bf16=mm_bf16,
+        keep_prob=keep_prob, seeded=True, mm_bf16=mm_bf16, want_h=True,
     )
     out_ref[:] = out[:, 0, :].astype(out_ref.dtype)
+    if stash:
+        refs[n_params + 1][:] = h
 
 
 def _last_bwd_kernel(
     seed_ref, x_ref, lens_ref, dout_ref, *refs, use_conv, use_ffn,
-    keep_prob, mm_bf16
+    keep_prob, mm_bf16, stash=False
 ):
+    h_ref = refs[0] if stash else None
+    refs = refs[1:] if stash else refs
     n_params = 15 if use_ffn else 9
     param_refs = refs[:n_params]
     dx_ref = refs[n_params]
@@ -648,7 +858,9 @@ def _last_bwd_kernel(
     else:
         xc = xb
     alpha, beta, sr, si, s = _gate_math(xc, p["wg"], p["bg"], p["lam"], mm_bf16)
-    h = _scan_body(beta * xc, alpha)
+    # the forward scan is the longest serial chain of this backward;
+    # the stashing forward saves h to HBM so it is skipped here
+    h = h_ref[:] if stash else _scan_body(beta * xc, alpha)
 
     m = _last_mask(lens_ref[:], bt, t)
     xl = _select_last(m, x)
@@ -785,10 +997,11 @@ def _last_bwd_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("use_conv", "use_ffn", "dropout_p", "mm_bf16", "block_rows"),
+    static_argnames=("use_conv", "use_ffn", "dropout_p", "mm_bf16", "block_rows",
+                     "stash"),
 )
 def _layer_last_fwd(x, lens, seed, params, use_conv, use_ffn, dropout_p,
-                    mm_bf16=False, block_rows=0):
+                    mm_bf16=False, block_rows=0, stash=False):
     b, t, d = x.shape
     bt = block_rows or _last_block_rows(t)
     xp = _pad_to(x, 0, bt, 0.0)
@@ -798,13 +1011,21 @@ def _layer_last_fwd(x, lens, seed, params, use_conv, use_ffn, dropout_p,
     lblock = pl.BlockSpec((bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     names = _PARAM_NAMES if use_ffn else _PARAM_NAMES[:9]
     plist = [params[n] for n in names]
+    c = params["w_in"].shape[1] // 2
+    oblock = pl.BlockSpec((bt, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    hblock = pl.BlockSpec((bt, t, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((bp, d), x.dtype)
+    out_specs = oblock
+    if stash:
+        out_shape = (out_shape, jax.ShapeDtypeStruct((bp, t, c), jnp.float32))
+        out_specs = (oblock, hblock)
     out = pl.pallas_call(
         functools.partial(
             _last_fwd_kernel,
             use_conv=use_conv, use_ffn=use_ffn, keep_prob=1.0 - dropout_p,
-            mm_bf16=mm_bf16,
+            mm_bf16=mm_bf16, stash=stash,
         ),
-        out_shape=jax.ShapeDtypeStruct((bp, d), x.dtype),
+        out_shape=out_shape,
         grid=(bp // bt,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -812,10 +1033,12 @@ def _layer_last_fwd(x, lens, seed, params, use_conv, use_ffn, dropout_p,
             lblock,
             *[_full_spec(p.shape) for p in plist],
         ],
-        out_specs=pl.BlockSpec((bt, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         interpret=_interpret(1.0 - dropout_p),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(seed, xp, lp, *plist)
+    if stash:
+        return out[0][:b], (out[1][:b],)
     return out[:b]
 
 
@@ -824,7 +1047,7 @@ def _layer_last_fwd(x, lens, seed, params, use_conv, use_ffn, dropout_p,
     static_argnames=("use_conv", "use_ffn", "dropout_p", "mm_bf16", "block_rows"),
 )
 def _layer_last_bwd(x, lens, dout, seed, params, use_conv, use_ffn, dropout_p,
-                    mm_bf16=False, block_rows=0):
+                    mm_bf16=False, block_rows=0, stash_vals=None):
     b, t, d = x.shape
     bt = block_rows or _last_block_rows(t)
     xp = _pad_to(x, 0, bt, 0.0)
@@ -836,11 +1059,20 @@ def _layer_last_bwd(x, lens, dout, seed, params, use_conv, use_ffn, dropout_p,
     dblock = pl.BlockSpec((bt, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
     names = _PARAM_NAMES if use_ffn else _PARAM_NAMES[:9]
     plist = [params[n] for n in names]
+    stash_in = []
+    stash_specs = []
+    if stash_vals is not None:
+        c = params["w_in"].shape[1] // 2
+        stash_in.append(_pad_to(stash_vals[0], 0, bt, 0.0))
+        stash_specs.append(
+            pl.BlockSpec((bt, t, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
     outs = pl.pallas_call(
         functools.partial(
             _last_bwd_kernel,
             use_conv=use_conv, use_ffn=use_ffn, keep_prob=1.0 - dropout_p,
-            mm_bf16=mm_bf16,
+            mm_bf16=mm_bf16, stash=stash_vals is not None,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bp, t, d), x.dtype),
@@ -852,6 +1084,7 @@ def _layer_last_bwd(x, lens, dout, seed, params, use_conv, use_ffn, dropout_p,
             block,
             lblock,
             dblock,
+            *stash_specs,
             *[_full_spec(p.shape) for p in plist],
         ],
         out_specs=(
@@ -860,7 +1093,7 @@ def _layer_last_bwd(x, lens, dout, seed, params, use_conv, use_ffn, dropout_p,
         ),
         interpret=_interpret(1.0 - dropout_p),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-    )(seed, xp, lp, dp, *plist)
+    )(seed, xp, lp, dp, *stash_in, *plist)
     dx = outs[0][:b]
     dparams = {n: g for n, g in zip(names, outs[1:])}
     return dx, dparams
@@ -881,15 +1114,22 @@ def fused_recurrent_layer_last(x, lens, seed, params, use_conv, use_ffn,
 
 
 def _last_vjp_fwd(x, lens, seed, params, use_conv, use_ffn, dropout_p, mm_bf16):
+    if _stash_policy(x.shape[1]):
+        out, stash = _layer_last_fwd(
+            x, lens, seed, params, use_conv, use_ffn, dropout_p, mm_bf16,
+            stash=True,
+        )
+        return out, (x, lens, seed, params, stash)
     out = _layer_last_fwd(x, lens, seed, params, use_conv, use_ffn,
                           dropout_p, mm_bf16)
-    return out, (x, lens, seed, params)
+    return out, (x, lens, seed, params, None)
 
 
 def _last_vjp_bwd(use_conv, use_ffn, dropout_p, mm_bf16, res, dout):
-    x, lens, seed, params = res
+    x, lens, seed, params, stash = res
     dx, dparams = _layer_last_bwd(
-        x, lens, dout, seed, params, use_conv, use_ffn, dropout_p, mm_bf16
+        x, lens, dout, seed, params, use_conv, use_ffn, dropout_p, mm_bf16,
+        stash_vals=stash,
     )
     return dx, None, None, dparams
 
