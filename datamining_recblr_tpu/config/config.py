@@ -71,6 +71,7 @@ _GENERAL_DEFAULTS: dict[str, Any] = {
 
     "use_pallas_scan": "auto",    # auto | always | never
     "mesh_shape": None,           # e.g. {"data": 4, "model": 2}; None = single device
+    "vocab_row_shard": "auto",    # auto (element-count policy) | always | never
     "mesh_input": "resident",     # resident: split replicated on device, index
                                   # vectors per step | stream: host batches per step
     "multihost": False,           # call jax.distributed.initialize at driver start

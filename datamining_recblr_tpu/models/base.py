@@ -61,11 +61,21 @@ class SequentialModel:
         # vocab padding so the row-sharded embedding divides the model
         # mesh axis; padded item columns are masked to -inf in scoring
         mesh_shape = config.get("mesh_shape") or {}
-        mult = int(config.get("vocab_multiple") or mesh_shape.get("model", 1) or 1)
-        self.n_items_padded = -(-self.n_items // mult) * mult
+        self._vocab_mult = int(
+            config.get("vocab_multiple") or mesh_shape.get("model", 1) or 1
+        )
+        self.n_items_padded = self.pad_vocab_rows(self.n_items)
         # set by the Trainer when running over a Mesh; lets kernels wrap
         # themselves in shard_map over the data axis
         self.mesh = None
+
+    def pad_vocab_rows(self, n: int) -> int:
+        """Round a vocab-leading row count up to the mesh model-axis
+        multiple so the replicate-vs-row-shard choice is made by the
+        policy in ``parallel/sharding.py`` (want_row_shard), never by
+        divisibility accidents (e.g. BERT4Rec's n_items+1 table)."""
+        m = self._vocab_mult
+        return -(-n // m) * m
 
     # -- to implement ------------------------------------------------------
     def init_params(self, rng):
@@ -127,12 +137,17 @@ class SequentialModel:
 
         if DATA_AXIS not in self.mesh.shape:
             return False
-        if rows_sharded(table_rows if table_rows is not None else v, self.mesh):
+        mode = self.config.get("vocab_row_shard", "auto") or "auto"
+        if rows_sharded(
+            table_rows if table_rows is not None else v, self.mesh, d, mode
+        ):
             return False
         # a vocab-sharded bias (BERT4Rec's output_bias is sharded
         # independently of the n_items+1 table) would be all-gathered
         # into the shard_map every step — keep the GSPMD path instead
-        if bias_rows is not None and rows_sharded(bias_rows, self.mesh):
+        if bias_rows is not None and rows_sharded(
+            bias_rows, self.mesh, d, mode
+        ):
             return False
         shard_rows = rows // self.mesh.shape[DATA_AXIS]
         return shard_rows >= fused_ce.MIN_ROWS

@@ -45,8 +45,13 @@ class BERT4Rec(SequentialModel):
         d = self.hidden_size
         dt = self.param_dtype
         return {
-            # +1 row for the mask token (reference bert4rec.py:64-66)
-            "item_embedding": L.normal_init(k_item, (self.n_items + 1, d), dtype=dt)
+            # +1 row for the mask token (reference bert4rec.py:64-66),
+            # then padded to the mesh model-axis multiple so the
+            # replicate-vs-row-shard POLICY (parallel/sharding.py)
+            # decides the layout, not divisibility of n_items+1
+            "item_embedding": L.normal_init(
+                k_item, (self.pad_vocab_rows(self.n_items + 1), d), dtype=dt
+            )
             .at[0]
             .set(0.0),
             "position_embedding": L.normal_init(k_pos, (self.max_seq_len, d), dtype=dt),
@@ -56,7 +61,7 @@ class BERT4Rec(SequentialModel):
             ),
             "output_ffn": L.dense_init(k_ffn, d, d, dtype=dt),
             "output_ln": L.layer_norm_init(d, dt),
-            "output_bias": jnp.zeros((self.n_items,), dt),
+            "output_bias": jnp.zeros((self.pad_vocab_rows(self.n_items),), dt),
         }
 
     # ------------------------------------------------------------------
@@ -132,7 +137,7 @@ class BERT4Rec(SequentialModel):
         table = params["item_embedding"][: self.n_items].astype(seq_output.dtype)
         return (
             jnp.dot(seq_output, table.T, preferred_element_type=jnp.float32)
-            + params["output_bias"].astype(jnp.float32)
+            + params["output_bias"][: self.n_items].astype(jnp.float32)
         )
 
     # ------------------------------------------------------------------
@@ -152,9 +157,22 @@ class BERT4Rec(SequentialModel):
         rng, k_mask, k_fwd, k_neg = jax.random.split(rng, 4)
 
         real = item_seq != 0
-        want = jnp.logical_and(
-            jax.random.bernoulli(k_mask, self.mask_ratio, item_seq.shape), real
-        )
+        if self.config.get("cloze_last_only"):
+            # DIAGNOSTIC protocol (BASELINE.md BERT4Rec-beauty anomaly):
+            # mask only each row's last real position, making the train
+            # task identical to the mask-append eval task.  Separates
+            # "cloze doesn't transfer to end-prediction on this data"
+            # from implementation bugs.
+            pos = jnp.arange(t, dtype=jnp.int32)[None, :]
+            want = jnp.logical_and(
+                pos == (batch["item_seq_len"].astype(jnp.int32) - 1)[:, None],
+                real,
+            )
+        else:
+            want = jnp.logical_and(
+                jax.random.bernoulli(k_mask, self.mask_ratio, item_seq.shape),
+                real,
+            )
         # cap the number of masked positions at the budget
         rank = jnp.cumsum(want, axis=1)  # 1-based rank among masked
         cloze = jnp.logical_and(want, rank <= mask_len)
@@ -202,7 +220,8 @@ class BERT4Rec(SequentialModel):
         h = sel_out.shape[-1]
         if self._use_fused_ce(
             self.n_items, h, rows=b * mask_len,
-            table_rows=self.n_items + 1, bias_rows=self.n_items,
+            table_rows=self.pad_vocab_rows(self.n_items + 1),
+            bias_rows=self.pad_vocab_rows(self.n_items),
         ):
             from datamining_recblr_tpu.ops.fused_ce import fused_softmax_ce
 
@@ -210,7 +229,7 @@ class BERT4Rec(SequentialModel):
                 sel_out.reshape(-1, h),
                 params["item_embedding"][: self.n_items],
                 jnp.maximum(sel_tgt, 0).reshape(-1),
-                bias=params["output_bias"],
+                bias=params["output_bias"][: self.n_items],
                 mm_bf16=self.compute_dtype == jnp.bfloat16,
                 mesh=self.mesh,
             ).reshape(sel_tgt.shape)
@@ -220,7 +239,7 @@ class BERT4Rec(SequentialModel):
             jnp.einsum(
                 "bmh,vh->bmv", sel_out, table, preferred_element_type=jnp.float32
             )
-            + params["output_bias"].astype(jnp.float32)
+            + params["output_bias"][: self.n_items].astype(jnp.float32)
         )
         logz = jax.scipy.special.logsumexp(logits, axis=-1)
         tgt = jnp.take_along_axis(

@@ -18,13 +18,13 @@ from datamining_recblr_tpu.eval.metrics import mask_scores, rank_metrics, target
 from datamining_recblr_tpu.parallel.sharding import named, param_pspecs
 
 
-def opt_state_pspecs(opt_template, param_template, mesh):
+def opt_state_pspecs(opt_template, param_template, mesh, mode="auto"):
     """PartitionSpec tree for an optimizer state: any leaf whose tree
     path ends with a param's path (optax moment trees mirror the param
     tree, e.g. ``[0].mu['item_embedding']``) inherits that param's
     spec; everything else (step counts) replicates.  Matching by path
     suffix + shape keeps this optimizer-agnostic."""
-    pspecs = param_pspecs(param_template, mesh)
+    pspecs = param_pspecs(param_template, mesh, mode)
     param_leaves = {
         tuple(str(k) for k in path): (leaf.shape, spec)
         for (path, leaf), spec in zip(
@@ -56,11 +56,12 @@ def init_sharded_state(model, optimizer, mesh, rng):
     restore: Orbax commits each leaf to its template sharding, and a
     committed single-device step-count alongside mesh-committed params
     fails the next jitted step."""
+    mode = model.config.get("vocab_row_shard", "auto") or "auto"
     param_tmpl = jax.eval_shape(model.init_params, rng)
-    param_sh = named(mesh, param_pspecs(param_tmpl, mesh))
+    param_sh = named(mesh, param_pspecs(param_tmpl, mesh, mode))
     params = jax.jit(model.init_params, out_shardings=param_sh)(rng)
     opt_tmpl = jax.eval_shape(optimizer.init, param_tmpl)
-    opt_sh = named(mesh, opt_state_pspecs(opt_tmpl, param_tmpl, mesh))
+    opt_sh = named(mesh, opt_state_pspecs(opt_tmpl, param_tmpl, mesh, mode))
     opt_state = jax.jit(optimizer.init, out_shardings=opt_sh)(params)
     return params, opt_state
 

@@ -68,6 +68,8 @@ def main():
                 # model axis: the embedding is row-sharded ACROSS the two
                 # processes — collectives ride the (virtual) DCN
                 "mesh_shape": {"data": 2, "model": 2},
+                # toy vocab: force row-sharding (auto policy replicates)
+                "vocab_row_shard": "always",
                 # ONE shared checkpoint dir (derived from the common
                 # parent dir, NOT the per-process out_path): orbax saves
                 # are collective, each process writes its addressable

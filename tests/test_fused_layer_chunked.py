@@ -143,3 +143,88 @@ def test_chunked_model_under_mesh_matches_unmeshed():
     np.testing.assert_allclose(
         np.asarray(out_m), np.asarray(out_u), rtol=5e-4, atol=5e-5
     )
+
+
+def test_xlong_vocab_mesh_composition_grads():
+    """The composition multi-chip exists for (VERDICT r3 #6): chunked
+    fused layer at T=1024 x large vocab (V past the scatter-add
+    embedding-grad crossover, ops/embedding.py _SCATTER_MIN_V) x mesh
+    with a row-sharded table + vocab-parallel CE.  Asserts the meshed
+    train-step loss AND grads match the unmeshed ones at XLong-like
+    shapes (B scaled down, structure preserved)."""
+    import numpy as _np
+
+    from datamining_recblr_tpu.ops.embedding import _SCATTER_MIN_V
+    from datamining_recblr_tpu.parallel import make_mesh, shard_batch
+    from datamining_recblr_tpu.parallel.sharding import (
+        param_pspecs,
+        shard_params,
+    )
+
+    T_LONG = 1024
+    n_items = _SCATTER_MIN_V + 216  # 9216: divides the model axis
+    b = 8
+    over = {
+        "hidden_size": 16,
+        "num_layers": 2,
+        "use_pallas_scan": "always",
+        "dropout_prob": 0.0,
+        "MAX_ITEM_LIST_LENGTH": T_LONG,
+    }
+    cfg_u = Config(model="RecBLR", config_dict=dict(over))
+    cfg_m = Config(
+        model="RecBLR",
+        config_dict=dict(
+            over,
+            mesh_shape={"data": 4, "model": 2},
+            # ~147k table elements is below the auto crossover; force
+            # the row-sharded layout this composition exists to test
+            vocab_row_shard="always",
+        ),
+    )
+    mesh = make_mesh({"data": 4, "model": 2})
+    model_u = RecBLR(cfg_u, n_items=n_items, max_seq_len=T_LONG)
+    model_m = RecBLR(cfg_m, n_items=n_items, max_seq_len=T_LONG)
+    model_m.mesh = mesh
+    assert model_u._use_chunked_layer() and model_m._use_chunked_layer()
+
+    params = model_u.init_params(jax.random.PRNGKey(3))
+    specs = param_pspecs(params, mesh, mode="always")
+    assert specs["item_embedding"] == jax.sharding.PartitionSpec("model", None)
+
+    rng = _np.random.default_rng(3)
+    seqs = _np.zeros((b, T_LONG), _np.int32)
+    lens = rng.integers(T_LONG // 2, T_LONG + 1, size=b).astype(_np.int32)
+    for i, ln in enumerate(lens):
+        seqs[i, :ln] = rng.integers(1, n_items, size=ln)
+    pos = rng.integers(1, n_items, size=b).astype(_np.int32)
+    batch = {
+        "item_seq": jnp.asarray(seqs),
+        "item_seq_len": jnp.asarray(lens),
+        "pos_item": jnp.asarray(pos),
+        "weight": jnp.ones((b,), jnp.float32),
+    }
+    step_rng = jax.random.PRNGKey(7)
+
+    def loss_u(p):
+        return model_u.calculate_loss(p, batch, step_rng)
+
+    def loss_m(p):
+        return model_m.calculate_loss(p, shard_batch(batch, mesh), step_rng)
+
+    lu, gu = jax.value_and_grad(loss_u)(params)
+    lm, gm = jax.jit(jax.value_and_grad(loss_m))(
+        shard_params(params, mesh, mode="always")
+    )
+    np.testing.assert_allclose(float(lm), float(lu), rtol=2e-4)
+    flat_u = jax.tree_util.tree_leaves_with_path(gu)
+    flat_m = {
+        jax.tree_util.keystr(kp): v
+        for kp, v in jax.tree_util.tree_leaves_with_path(gm)
+    }
+    for kp, vu in flat_u:
+        vm = flat_m[jax.tree_util.keystr(kp)]
+        np.testing.assert_allclose(
+            np.asarray(vm), np.asarray(vu), rtol=5e-3, atol=5e-5,
+            err_msg=jax.tree_util.keystr(kp),
+        )

@@ -137,13 +137,16 @@ def test_fused_transformer_under_mesh_matches_unfused(name, monkeypatch):
 
 
 def test_fused_ce_gate_respects_sharding(monkeypatch):
-    """The fused-CE mesh gate must refuse when the table OR the bias
-    would be row-sharded over the model axis, and scale MIN_ROWS by the
-    data-axis size."""
+    """The fused-CE mesh gate must follow the replicate-vs-row-shard
+    POLICY (parallel/sharding.py want_row_shard), not divisibility: a
+    small vocab keeps the replicated table + fused CE even when its
+    rows divide the model axis; a Yelp-scale vocab row-shards (GSPMD
+    CE); MIN_ROWS scales by the data-axis size."""
     import jax as _jax
 
     from datamining_recblr_tpu.models.base import SequentialModel
     from datamining_recblr_tpu.ops import fused_ce
+    from datamining_recblr_tpu.parallel.sharding import ROW_SHARD_MIN_ELEMS
 
     monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
     cfg = Config(model="RecBLR", config_dict={"MAX_ITEM_LIST_LENGTH": 8})
@@ -155,11 +158,31 @@ def test_fused_ce_gate_respects_sharding(monkeypatch):
     assert not m._use_fused_ce(3417, 64, fused_ce.MIN_ROWS - 1)
 
     m.mesh = make_mesh({"data": 4, "model": 2})
-    # table rows divisible by model axis -> row-sharded -> refuse
-    assert not m._use_fused_ce(3418, 64, rows, table_rows=3418)
-    # replicated table (odd rows), bias sharded (even rows) -> refuse
-    assert not m._use_fused_ce(3417, 64, rows, table_rows=3419, bias_rows=3418)
-    # replicated table AND bias -> allowed when per-shard rows suffice
-    assert m._use_fused_ce(3417, 64, rows, table_rows=3419, bias_rows=3417)
+    # small vocab, rows DIVISIBLE by the model axis: the policy still
+    # replicates, so the fused CE stays on — the choice, not
+    # divisibility, decides (BERT4Rec with a divisible n_items+1)
+    assert m._use_fused_ce(3418, 64, rows, table_rows=3418)
+    assert m._use_fused_ce(3417, 64, rows, table_rows=3418, bias_rows=3418)
+    # Yelp-scale vocab (past ROW_SHARD_MIN_ELEMS): capacity override
+    # row-shards the table -> fused CE refused, GSPMD vocab-parallel CE
+    big_v = ROW_SHARD_MIN_ELEMS // 64 + 64  # divisible by model axis 2
+    assert not m._use_fused_ce(big_v, 64, rows, table_rows=big_v)
+    # forced sharding ("always") refuses even at a small vocab
+    cfg_always = Config(
+        model="RecBLR",
+        config_dict={"MAX_ITEM_LIST_LENGTH": 8, "vocab_row_shard": "always"},
+    )
+    m2 = SequentialModel(cfg_always, n_items=3417, max_seq_len=8)
+    m2.mesh = m.mesh
+    assert not m2._use_fused_ce(3418, 64, rows, table_rows=3418)
+    # forced replication ("never") keeps fused CE at any vocab
+    cfg_never = Config(
+        model="RecBLR",
+        config_dict={"MAX_ITEM_LIST_LENGTH": 8, "vocab_row_shard": "never"},
+    )
+    m3 = SequentialModel(cfg_never, n_items=3417, max_seq_len=8)
+    m3.mesh = m.mesh
+    assert m3._use_fused_ce(big_v, 64, rows, table_rows=big_v)
+    # per-shard row floor still applies
     assert not m._use_fused_ce(3417, 64, fused_ce.MIN_ROWS * 2,
                                table_rows=3419, bias_rows=3417)

@@ -44,7 +44,10 @@ def _cfg(tmp_path, **over):
 def test_mesh_trainer_trains_and_matches(synth_data, tmp_path):
     assert len(jax.devices()) == 8
 
-    cfg_mesh = _cfg(tmp_path, mesh_shape={"data": 4, "model": 2})
+    cfg_mesh = _cfg(
+        tmp_path, mesh_shape={"data": 4, "model": 2},
+        vocab_row_shard="always",  # toy vocab: force the sharded layout
+    )
     model_m = get_model("RecBLR")(cfg_mesh, synth_data.n_items, synth_data.max_seq_len)
     tr_mesh = Trainer(cfg_mesh, model_m)
     assert tr_mesh.mesh is not None

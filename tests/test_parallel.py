@@ -39,6 +39,9 @@ def setup(mesh):
             "num_layers": 1,
             "use_pallas_scan": "never",
             "MAX_ITEM_LIST_LENGTH": MAX_LEN,
+            # toy vocab (256x32 elems) is far below the auto policy's
+            # row-shard crossover; force sharding to exercise mechanics
+            "vocab_row_shard": "always",
         },
     )
     model = get_model("RecBLR")(cfg, n_items=N_ITEMS, max_seq_len=MAX_LEN)
@@ -128,3 +131,41 @@ def test_sharded_eval_matches_unsharded(mesh, setup):
     )
     for k in ref:
         np.testing.assert_allclose(float(out[k][0]), float(ref[k][0]), rtol=1e-4)
+
+
+def test_row_shard_policy_decides_not_divisibility(mesh):
+    """Directive: the replicate-vs-row-shard choice is a POLICY
+    (parallel/sharding.py), not a divisibility accident.  BERT4Rec's
+    table rows are padded to the model-axis multiple, so they always
+    divide — and still stay replicated below the element crossover;
+    a Yelp-scale vocab crosses it and row-shards (capacity override)."""
+    from datamining_recblr_tpu.parallel.sharding import (
+        ROW_SHARD_MIN_ELEMS,
+        param_pspecs,
+        want_row_shard,
+    )
+
+    cfg = Config(
+        model="BERT4Rec",
+        config_dict={
+            "MAX_ITEM_LIST_LENGTH": MAX_LEN,
+            "mesh_shape": {"data": 4, "model": 2},
+        },
+    )
+    model = get_model("BERT4Rec")(cfg, n_items=N_ITEMS, max_seq_len=MAX_LEN)
+    params = model.init_params(jax.random.PRNGKey(0))
+    # padded rows divide the model axis by construction
+    assert params["item_embedding"].shape[0] % 2 == 0
+    assert params["output_bias"].shape[0] % 2 == 0
+    specs = param_pspecs(params, mesh)  # auto mode
+    # small vocab: policy replicates despite divisibility
+    assert specs["item_embedding"] == P()
+    assert specs["output_bias"] == P()
+    # forced mode shards the same tensors
+    specs_f = param_pspecs(params, mesh, mode="always")
+    assert specs_f["item_embedding"] == P("model", None)
+    assert specs_f["output_bias"] == P("model")
+    # Yelp-scale: the auto policy row-shards (capacity/logits split)
+    big_v = ROW_SHARD_MIN_ELEMS // 64 + 64
+    assert want_row_shard(big_v, 64, mesh)
+    assert not want_row_shard(N_ITEMS, 64, mesh)
