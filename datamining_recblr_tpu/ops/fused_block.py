@@ -1009,8 +1009,13 @@ def _sel_bwd_kernel(seed_ref, x_ref, len_ref, idx_ref, dout_ref, *refs,
 
 
 def _sel_block_rows(t: int, s: int) -> int:
-    # scores are [rows, S, T]; budget rows*S*T <= 16*40*200
-    return max(1, min(16, (16 * 40 * 200) // max(1, s * t)))
+    # scores are [rows, S, T]; budget rows*S*T <= 16*40*200.  Mosaic
+    # requires the [rows, S]/[rows, T] idx/lens blocks to be 8-sublane
+    # aligned, so rows snaps to {8, 16} — a sub-8 budget result (e.g.
+    # mask_ratio 0.6 -> S=120 at T=200 gave 5) still runs at 8 rows;
+    # the 100 MiB scoped VMEM limit absorbs the overshoot.
+    budget = (16 * 40 * 200) // max(1, s * t)
+    return 16 if budget >= 16 else 8
 
 
 @functools.partial(

@@ -79,6 +79,17 @@ def main():
                     "a different one)")
     ap.add_argument("--out", default="artifacts/parity")
     ap.add_argument("--data_path", default="dataset")
+    ap.add_argument(
+        "--config", default="config.yaml",
+        help="base config yaml (e.g. configs/paper/config_xlong_paper.yaml "
+        "for the XLong quality protocol)",
+    )
+    ap.add_argument(
+        "--override", action="append", default=[], metavar="KEY=VALUE",
+        help="extra config override(s), e.g. --override mask_ratio=0.6 "
+        "--override MAX_ITEM_LIST_LENGTH=50 (numbers auto-parsed); used "
+        "by the BERT4Rec-beauty protocol diagnosis (BASELINE.md anchors)",
+    )
     args = ap.parse_args()
 
     ds_name = ensure_dataset(
@@ -113,12 +124,22 @@ def main():
         }
         if args.epochs is not None:
             overrides["epochs"] = args.epochs
+        for kv in args.override:
+            k, _, v = kv.partition("=")
+            try:
+                v = int(v)
+            except ValueError:
+                try:
+                    v = float(v)
+                except ValueError:
+                    pass
+            overrides[k] = v
         if name != "RecBLR":
             overrides.update(bd_lru_only=False, disable_conv1d=False,
                              disable_ffn=False)
         config = Config(
             model=name, dataset=ds_name,
-            config_file_list=["config.yaml"], config_dict=overrides,
+            config_file_list=[args.config], config_dict=overrides,
         )
         result = run_experiment(config, plot_prefix=tag, plot_dir=args.out)
         summary = {
@@ -127,6 +148,9 @@ def main():
             "preset": args.dataset,
             "gen_seed": args.gen_seed,
             "generator_params": resolved,
+            "config_overrides": dict(
+                kv.partition("=")[::2] for kv in args.override
+            ),
             "best_valid": result["best_valid_result"],
             "test": result["test_result"],
             "wall_time_s": round(result["wall_time"], 1),
