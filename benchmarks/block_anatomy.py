@@ -125,6 +125,39 @@ def main():
     FB._mmT = orig_mmT
     FB._bmm = orig_bmm
 
+    # marginal MXU probe: double every matmul/bmm with a perturbed
+    # operand (not CSE-able).  If the marginal ~= the standalone matmul
+    # time, the MXU is the critical path (the attention bmms contract
+    # dh=32 / emit 32-wide outputs -> <=25% MXU utilization, unlike the
+    # RecBLR kernel's 64..256-wide matmuls)
+    def make_mm_2x(mm_bf16):
+        base = orig_make_mm(mm_bf16)
+
+        def _mm(a, bb):
+            return 0.5 * (base(a, bb) + base(a, bb * 1.0000001))
+        return _mm
+
+    def mmT_2x(a, bb):
+        return 0.5 * (orig_mmT(a, bb) + orig_mmT(a, bb * 1.0000001))
+
+    def bmm_2x(a, bb, dims, mm_bf16=False):
+        return 0.5 * (
+            orig_bmm(a, bb, dims, mm_bf16)
+            + orig_bmm(a, bb * 1.0000001, dims, mm_bf16)
+        )
+
+    FB._make_mm = make_mm_2x
+    FB._mmT = mmT_2x
+    FB._bmm = bmm_2x
+    run("all matmuls/bmms DOUBLED")
+    FB._make_mm = orig_make_mm
+    FB._mmT = orig_mmT
+    FB._bmm = orig_bmm
+
+    FB._bmm = bmm_2x
+    run("attention bmms DOUBLED only")
+    FB._bmm = orig_bmm
+
     nb = b // FB._attn_block_rows(t)
     print(f"\nbase {base:.2f} ms = {base * 1e3 / nb:.2f} us per "
           f"{FB._attn_block_rows(t)}-row block")

@@ -178,19 +178,30 @@ def _bmm(a, b, dims, mm_bf16=False):
 
 
 def _block_fwd_core(x, padrow, p, *, causal, n_heads, kp_h, kp_a, act,
-                    mm_bf16, seeded):
+                    mm_bf16, seeded, stash=None):
     """Shared forward math on an f32 [BT, T, D] block.  Returns the
     intermediates the backward needs (recomputed there).  PRNG draw
     order (must match the backward recompute exactly): per-head attn
     masks, then the post-attention hidden mask, then the post-FFN
-    hidden mask."""
+    hidden mask.
+
+    ``stash`` (backward only): dict with per-head attention
+    probabilities ``pr{h}`` and the concatenated head contexts ``ctx``
+    saved to HBM by the stashing forward — skips the scores bmm, the
+    softmax chain, the additive-mask construction, and the prob@v bmm
+    (benchmarks/block_anatomy.py: doubling the attention bmms alone
+    costs +18%; the block kernel, unlike the RecBLR one, has
+    substantial MXU exposure because dh=32 runs the MXU at <=25%
+    utilization)."""
     _mm = _make_mm(mm_bf16)
     act_f, _ = _act_pair(act)
     bt, t, d = x.shape
     dh = d // n_heads
     scale = 1.0 / math.sqrt(dh)
     x2 = x.reshape(bt * t, d)
-    amask = _additive_mask(padrow, t, causal)
+    amask = None
+    if stash is None:
+        amask = _additive_mask(padrow, t, causal)
 
     ao2 = None
     heads = []
@@ -199,17 +210,23 @@ def _block_fwd_core(x, padrow, p, *, causal, n_heads, kp_h, kp_a, act,
         qh = (_mm(x2, p["w_q"][:, sl]) + p["b_q"][sl]).reshape(bt, t, dh)
         kh = (_mm(x2, p["w_k"][:, sl]) + p["b_k"][sl]).reshape(bt, t, dh)
         vh = (_mm(x2, p["w_v"][:, sl]) + p["b_v"][sl]).reshape(bt, t, dh)
-        s = _bmm(qh, kh, ((2,), (2,)), mm_bf16) * scale + amask
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        e = fastmath.exp(s)
-        pr = e / jnp.sum(e, axis=-1, keepdims=True)
+        if stash is not None:
+            pr = stash[f"pr{h}"]
+        else:
+            s = _bmm(qh, kh, ((2,), (2,)), mm_bf16) * scale + amask
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = fastmath.exp(s)
+            pr = e / jnp.sum(e, axis=-1, keepdims=True)
         if seeded and kp_a < 1.0:
             m_a = _dropout_mask(pr.shape, kp_a)
             pd = pr * m_a
         else:
             m_a = None
             pd = pr
-        ctx_h = _bmm(pd, vh, ((2,), (1,)), mm_bf16)  # [bt, t, dh]
+        if stash is not None:
+            ctx_h = stash["ctx"][..., sl]
+        else:
+            ctx_h = _bmm(pd, vh, ((2,), (1,)), mm_bf16)  # [bt, t, dh]
         contrib = _mm(ctx_h.reshape(bt * t, dh), p["w_o"][sl, :])
         ao2 = contrib if ao2 is None else ao2 + contrib
         heads.append(
@@ -241,9 +258,11 @@ def _block_fwd_core(x, padrow, p, *, causal, n_heads, kp_h, kp_a, act,
 
 
 def _fwd_kernel(seed_ref, x_ref, len_ref, *refs, causal, n_heads, kp_h,
-                kp_a, act, mm_bf16):
-    out_ref = refs[-1]
-    param_refs = refs[:-1]
+                kp_a, act, mm_bf16, stash=False):
+    n_params = len(_PARAM_NAMES)
+    param_refs = refs[:n_params]
+    out_ref = refs[n_params]
+    stash_refs = refs[n_params + 1 :]
     if kp_h < 1.0 or kp_a < 1.0:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     x = x_ref[:].astype(jnp.float32)
@@ -254,10 +273,19 @@ def _fwd_kernel(seed_ref, x_ref, len_ref, *refs, causal, n_heads, kp_h,
         act=act, mm_bf16=mm_bf16, seeded=True,
     )
     out_ref[:] = res["out"].astype(out_ref.dtype)
+    if stash:
+        for h in range(n_heads):
+            stash_refs[h][:] = res["heads"][h]["pr"]
+        stash_refs[n_heads][:] = jnp.concatenate(
+            [hd["ctx_h"] for hd in res["heads"]], axis=-1
+        )
 
 
 def _bwd_kernel(seed_ref, x_ref, len_ref, dout_ref, *refs, causal, n_heads,
-                kp_h, kp_a, act, mm_bf16):
+                kp_h, kp_a, act, mm_bf16, stash=False):
+    n_stash = (n_heads + 1) if stash else 0
+    stash_refs = refs[:n_stash]
+    refs = refs[n_stash:]
     n_params = len(_PARAM_NAMES)
     param_refs = refs[:n_params]
     dx_ref = refs[n_params]
@@ -277,10 +305,17 @@ def _bwd_kernel(seed_ref, x_ref, len_ref, dout_ref, *refs, causal, n_heads,
     scale = 1.0 / math.sqrt(dh)
     x2 = x.reshape(bt * t, d)
 
-    # recompute forward (same PRNG draw order as _fwd_kernel)
+    # recompute forward (same PRNG draw order as _fwd_kernel); with a
+    # stash the scores/softmax/ctx recompute is skipped
+    stash_vals = None
+    if stash:
+        stash_vals = {
+            f"pr{h}": stash_refs[h][:] for h in range(n_heads)
+        }
+        stash_vals["ctx"] = stash_refs[n_heads][:]
     res = _block_fwd_core(
         x, padrow, p, causal=causal, n_heads=n_heads, kp_h=kp_h, kp_a=kp_a,
-        act=act, mm_bf16=mm_bf16, seeded=True,
+        act=act, mm_bf16=mm_bf16, seeded=True, stash=stash_vals,
     )
 
     grads = {}
@@ -363,11 +398,11 @@ def _bwd_kernel(seed_ref, x_ref, len_ref, dout_ref, *refs, causal, n_heads,
     jax.jit,
     static_argnames=(
         "causal", "n_heads", "hidden_dropout_p", "attn_dropout_p", "act",
-        "mm_bf16", "block_rows",
+        "mm_bf16", "block_rows", "stash",
     ),
 )
 def _block_fwd(x, lens, seed, params, causal, n_heads, hidden_dropout_p,
-               attn_dropout_p, act, mm_bf16=False, block_rows=0):
+               attn_dropout_p, act, mm_bf16=False, block_rows=0, stash=False):
     b, t, d = x.shape
     bt = block_rows or _attn_block_rows(t)
     xp = _pad_to(x, 0, bt, 0.0)
@@ -377,22 +412,37 @@ def _block_fwd(x, lens, seed, params, causal, n_heads, hidden_dropout_p,
     block = pl.BlockSpec((bt, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     len_spec = pl.BlockSpec((bt, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     plist = [params[n] for n in _PARAM_NAMES]
+    out_shape = jax.ShapeDtypeStruct((bp, t, d), x.dtype)
+    out_specs = block
+    if stash:
+        pr_spec = pl.BlockSpec(
+            (bt, t, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = (
+            out_shape,
+            *[jax.ShapeDtypeStruct((bp, t, t), jnp.float32)
+              for _ in range(n_heads)],
+            jax.ShapeDtypeStruct((bp, t, d), jnp.float32),
+        )
+        out_specs = (block, *[pr_spec] * n_heads, block)
     out = pl.pallas_call(
         functools.partial(
             _fwd_kernel, causal=causal, n_heads=n_heads, kp_h=kp_h,
-            kp_a=kp_a, act=act, mm_bf16=mm_bf16,
+            kp_a=kp_a, act=act, mm_bf16=mm_bf16, stash=stash,
         ),
-        out_shape=jax.ShapeDtypeStruct((bp, t, d), x.dtype),
+        out_shape=out_shape,
         grid=(bp // bt,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             block, len_spec,
             *[_full_spec(p.shape) for p in plist],
         ],
-        out_specs=block,
+        out_specs=out_specs,
         interpret=_interpret(min(kp_h, kp_a)),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(seed, xp, lp, *plist)
+    if stash:
+        return out[0][:b], tuple(o[:b] for o in out[1:])
     return out[:b]
 
 
@@ -405,7 +455,7 @@ def _block_fwd(x, lens, seed, params, causal, n_heads, hidden_dropout_p,
 )
 def _block_bwd(x, lens, dout, seed, params, causal, n_heads,
                hidden_dropout_p, attn_dropout_p, act, mm_bf16=False,
-               block_rows=0):
+               block_rows=0, stash_vals=None):
     b, t, d = x.shape
     bt = block_rows or _attn_block_rows(t)
     xp = _pad_to(x, 0, bt, 0.0)
@@ -416,10 +466,23 @@ def _block_bwd(x, lens, dout, seed, params, causal, n_heads,
     block = pl.BlockSpec((bt, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     len_spec = pl.BlockSpec((bt, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     plist = [params[n] for n in _PARAM_NAMES]
+    stash_in = []
+    stash_specs = []
+    if stash_vals is not None:
+        for sv in stash_vals:
+            w = sv.shape[-1]
+            # pad 1.0: padded rows carry dout == 0, and a uniform pr
+            # avoids 0-division shapes in the softmax backward
+            stash_in.append(_pad_to(sv, 0, bt, 1.0))
+            stash_specs.append(
+                pl.BlockSpec((bt, t, w), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+            )
     outs = pl.pallas_call(
         functools.partial(
             _bwd_kernel, causal=causal, n_heads=n_heads, kp_h=kp_h,
             kp_a=kp_a, act=act, mm_bf16=mm_bf16,
+            stash=stash_vals is not None,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bp, t, d), x.dtype),
@@ -429,12 +492,13 @@ def _block_bwd(x, lens, dout, seed, params, causal, n_heads,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             block, len_spec, block,
+            *stash_specs,
             *[_full_spec(p.shape) for p in plist],
         ],
         out_specs=(block, *[_full_spec(p.shape) for p in plist]),
         interpret=_interpret(min(kp_h, kp_a)),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-    )(seed, xp, lp, dp_, *plist)
+    )(seed, xp, lp, dp_, *stash_in, *plist)
     dx = outs[0][:b]
     dparams = {n: g for n, g in zip(_PARAM_NAMES, outs[1:])}
     return dx, dparams
@@ -462,19 +526,27 @@ def fused_transformer_layer(x, lens, seed, params, causal, n_heads,
 
 def _vjp_fwd(x, lens, seed, params, causal, n_heads, hidden_dropout_p,
              attn_dropout_p, act, mm_bf16):
+    from datamining_recblr_tpu.ops.fused_layer import _stash_policy
+
+    if _stash_policy(x.shape[1]):
+        out, stash = _block_fwd(
+            x, lens, seed, params, causal, n_heads, hidden_dropout_p,
+            attn_dropout_p, act, mm_bf16, stash=True,
+        )
+        return out, (x, lens, seed, params, stash)
     out = _block_fwd(
         x, lens, seed, params, causal, n_heads, hidden_dropout_p,
         attn_dropout_p, act, mm_bf16,
     )
-    return out, (x, lens, seed, params)
+    return out, (x, lens, seed, params, None)
 
 
 def _vjp_bwd(causal, n_heads, hidden_dropout_p, attn_dropout_p, act,
              mm_bf16, res, dout):
-    x, lens, seed, params = res
+    x, lens, seed, params, stash = res
     dx, dparams = _block_bwd(
         x, lens, dout, seed, params, causal, n_heads, hidden_dropout_p,
-        attn_dropout_p, act, mm_bf16,
+        attn_dropout_p, act, mm_bf16, stash_vals=stash,
     )
     return dx, None, None, dparams
 
@@ -824,10 +896,12 @@ def _sel_onehot(idx, bt, s, t):
 
 
 def _block_sel_fwd_core(x, padrow, sel, p, *, n_heads, kp_h, kp_a, act,
-                        mm_bf16, seeded):
+                        mm_bf16, seeded, stash=None):
     """Forward on the S selected positions -> [bt, S, D] out.  PRNG draw
     order: per-head [S,T] attn masks, then the [S,D] post-attention
-    mask, then the [S,D] post-FFN mask."""
+    mask, then the [S,D] post-FFN mask.  ``stash``: same contract as
+    _block_fwd_core (saved pr{h}/ctx skip the scores bmm, softmax, and
+    prob@v bmm in the backward)."""
     _mm = _make_mm(mm_bf16)
     act_f, _ = _act_pair(act)
     bt, t, d = x.shape
@@ -845,17 +919,23 @@ def _block_sel_fwd_core(x, padrow, sel, p, *, n_heads, kp_h, kp_a, act,
         qh = (_mm(xq2, p["w_q"][:, sl]) + p["b_q"][sl]).reshape(bt, s_n, dh)
         kh = (_mm(x2, p["w_k"][:, sl]) + p["b_k"][sl]).reshape(bt, t, dh)
         vh = (_mm(x2, p["w_v"][:, sl]) + p["b_v"][sl]).reshape(bt, t, dh)
-        sc = _bmm(qh, kh, ((2,), (2,)), mm_bf16) * scale + padrow
-        sc = sc - jnp.max(sc, axis=-1, keepdims=True)
-        e = fastmath.exp(sc)
-        pr = e / jnp.sum(e, axis=-1, keepdims=True)  # [bt,S,T]
+        if stash is not None:
+            pr = stash[f"pr{h}"]
+        else:
+            sc = _bmm(qh, kh, ((2,), (2,)), mm_bf16) * scale + padrow
+            sc = sc - jnp.max(sc, axis=-1, keepdims=True)
+            e = fastmath.exp(sc)
+            pr = e / jnp.sum(e, axis=-1, keepdims=True)  # [bt,S,T]
         if seeded and kp_a < 1.0:
             m_a = _dropout_mask(pr.shape, kp_a)
             pd = pr * m_a
         else:
             m_a = None
             pd = pr
-        ctx_h = _bmm(pd, vh, ((2,), (1,)), mm_bf16)  # [bt,S,dh]
+        if stash is not None:
+            ctx_h = stash["ctx"][..., sl]
+        else:
+            ctx_h = _bmm(pd, vh, ((2,), (1,)), mm_bf16)  # [bt,S,dh]
         contrib = _mm(ctx_h.reshape(bt * s_n, dh), p["w_o"][sl, :])
         ao2 = contrib if ao2 is None else ao2 + contrib
         heads.append(dict(qh=qh, kh=kh, vh=vh, pr=pr, pd=pd, m_a=m_a, ctx_h=ctx_h))
@@ -884,9 +964,11 @@ def _block_sel_fwd_core(x, padrow, sel, p, *, n_heads, kp_h, kp_a, act,
 
 
 def _sel_fwd_kernel(seed_ref, x_ref, len_ref, idx_ref, *refs, n_heads,
-                    kp_h, kp_a, act, mm_bf16):
-    out_ref = refs[-1]
-    param_refs = refs[:-1]
+                    kp_h, kp_a, act, mm_bf16, stash=False):
+    n_params = len(_PARAM_NAMES)
+    param_refs = refs[:n_params]
+    out_ref = refs[n_params]
+    stash_refs = refs[n_params + 1 :]
     if kp_h < 1.0 or kp_a < 1.0:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     x = x_ref[:].astype(jnp.float32)
@@ -900,10 +982,19 @@ def _sel_fwd_kernel(seed_ref, x_ref, len_ref, idx_ref, *refs, n_heads,
         mm_bf16=mm_bf16, seeded=True,
     )
     out_ref[:] = res["out"].astype(out_ref.dtype)
+    if stash:
+        for h in range(n_heads):
+            stash_refs[h][:] = res["heads"][h]["pr"]
+        stash_refs[n_heads][:] = jnp.concatenate(
+            [hd["ctx_h"] for hd in res["heads"]], axis=-1
+        )
 
 
 def _sel_bwd_kernel(seed_ref, x_ref, len_ref, idx_ref, dout_ref, *refs,
-                    n_heads, kp_h, kp_a, act, mm_bf16):
+                    n_heads, kp_h, kp_a, act, mm_bf16, stash=False):
+    n_stash = (n_heads + 1) if stash else 0
+    stash_refs = refs[:n_stash]
+    refs = refs[n_stash:]
     n_params = len(_PARAM_NAMES)
     param_refs = refs[:n_params]
     dx_ref = refs[n_params]
@@ -926,9 +1017,13 @@ def _sel_bwd_kernel(seed_ref, x_ref, len_ref, idx_ref, dout_ref, *refs,
     x2 = x.reshape(bt * t, d)
     sel = _sel_onehot(idx, bt, s_n, t)
 
+    stash_vals = None
+    if stash:
+        stash_vals = {f"pr{h}": stash_refs[h][:] for h in range(n_heads)}
+        stash_vals["ctx"] = stash_refs[n_heads][:]
     res = _block_sel_fwd_core(
         x, padrow, sel, p, n_heads=n_heads, kp_h=kp_h, kp_a=kp_a, act=act,
-        mm_bf16=mm_bf16, seeded=True,
+        mm_bf16=mm_bf16, seeded=True, stash=stash_vals,
     )
     xq2 = res["xq"].reshape(bt * s_n, d)
 
@@ -1022,12 +1117,12 @@ def _sel_block_rows(t: int, s: int) -> int:
     jax.jit,
     static_argnames=(
         "n_heads", "hidden_dropout_p", "attn_dropout_p", "act", "mm_bf16",
-        "block_rows",
+        "block_rows", "stash",
     ),
 )
 def _block_sel_fwd(x, lens, sel_idx, seed, params, n_heads,
                    hidden_dropout_p, attn_dropout_p, act, mm_bf16=False,
-                   block_rows=0):
+                   block_rows=0, stash=False):
     b, t, d = x.shape
     s_n = sel_idx.shape[1]
     bt = block_rows or _sel_block_rows(t, s_n)
@@ -1041,22 +1136,39 @@ def _block_sel_fwd(x, lens, sel_idx, seed, params, n_heads,
     idx_spec = pl.BlockSpec((bt, s_n), lambda i: (i, 0), memory_space=pltpu.VMEM)
     oblock = pl.BlockSpec((bt, s_n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     plist = [params[n] for n in _PARAM_NAMES]
+    out_shape = jax.ShapeDtypeStruct((bp, s_n, d), x.dtype)
+    out_specs = oblock
+    if stash:
+        pr_spec = pl.BlockSpec(
+            (bt, s_n, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = (
+            out_shape,
+            *[jax.ShapeDtypeStruct((bp, s_n, t), jnp.float32)
+              for _ in range(n_heads)],
+            jax.ShapeDtypeStruct((bp, s_n, d), jnp.float32),
+        )
+        out_specs = (oblock, *[pr_spec] * n_heads,
+                     pl.BlockSpec((bt, s_n, d), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM))
     out = pl.pallas_call(
         functools.partial(
             _sel_fwd_kernel, n_heads=n_heads, kp_h=kp_h, kp_a=kp_a,
-            act=act, mm_bf16=mm_bf16,
+            act=act, mm_bf16=mm_bf16, stash=stash,
         ),
-        out_shape=jax.ShapeDtypeStruct((bp, s_n, d), x.dtype),
+        out_shape=out_shape,
         grid=(bp // bt,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             block, len_spec, idx_spec,
             *[_full_spec(p.shape) for p in plist],
         ],
-        out_specs=oblock,
+        out_specs=out_specs,
         interpret=_interpret(min(kp_h, kp_a)),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(seed, xp, lp, ip, *plist)
+    if stash:
+        return out[0][:b], tuple(o[:b] for o in out[1:])
     return out[:b]
 
 
@@ -1069,7 +1181,7 @@ def _block_sel_fwd(x, lens, sel_idx, seed, params, n_heads,
 )
 def _block_sel_bwd(x, lens, sel_idx, dout, seed, params, n_heads,
                    hidden_dropout_p, attn_dropout_p, act, mm_bf16=False,
-                   block_rows=0):
+                   block_rows=0, stash_vals=None):
     b, t, d = x.shape
     s_n = sel_idx.shape[1]
     bt = block_rows or _sel_block_rows(t, s_n)
@@ -1084,10 +1196,20 @@ def _block_sel_bwd(x, lens, sel_idx, dout, seed, params, n_heads,
     idx_spec = pl.BlockSpec((bt, s_n), lambda i: (i, 0), memory_space=pltpu.VMEM)
     oblock = pl.BlockSpec((bt, s_n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     plist = [params[n] for n in _PARAM_NAMES]
+    stash_in = []
+    stash_specs = []
+    if stash_vals is not None:
+        for sv in stash_vals:
+            w = sv.shape[-1]
+            stash_in.append(_pad_to(sv, 0, bt, 1.0))
+            stash_specs.append(
+                pl.BlockSpec((bt, s_n, w), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+            )
     outs = pl.pallas_call(
         functools.partial(
             _sel_bwd_kernel, n_heads=n_heads, kp_h=kp_h, kp_a=kp_a,
-            act=act, mm_bf16=mm_bf16,
+            act=act, mm_bf16=mm_bf16, stash=stash_vals is not None,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bp, t, d), x.dtype),
@@ -1097,12 +1219,13 @@ def _block_sel_bwd(x, lens, sel_idx, dout, seed, params, n_heads,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             block, len_spec, idx_spec, oblock,
+            *stash_specs,
             *[_full_spec(p.shape) for p in plist],
         ],
         out_specs=(block, *[_full_spec(p.shape) for p in plist]),
         interpret=_interpret(min(kp_h, kp_a)),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-    )(seed, xp, lp, ip, dp_, *plist)
+    )(seed, xp, lp, ip, dp_, *stash_in, *plist)
     dx = outs[0][:b]
     dparams = {n: g for n, g in zip(_PARAM_NAMES, outs[1:])}
     return dx, dparams
@@ -1129,19 +1252,27 @@ def fused_transformer_layer_sel(x, lens, sel_idx, seed, params, n_heads,
 
 def _sel_vjp_fwd(x, lens, sel_idx, seed, params, n_heads, hidden_dropout_p,
                  attn_dropout_p, act, mm_bf16):
+    from datamining_recblr_tpu.ops.fused_layer import _stash_policy
+
+    if _stash_policy(x.shape[1]):
+        out, stash = _block_sel_fwd(
+            x, lens, sel_idx, seed, params, n_heads, hidden_dropout_p,
+            attn_dropout_p, act, mm_bf16, stash=True,
+        )
+        return out, (x, lens, sel_idx, seed, params, stash)
     out = _block_sel_fwd(
         x, lens, sel_idx, seed, params, n_heads, hidden_dropout_p,
         attn_dropout_p, act, mm_bf16,
     )
-    return out, (x, lens, sel_idx, seed, params)
+    return out, (x, lens, sel_idx, seed, params, None)
 
 
 def _sel_vjp_bwd(n_heads, hidden_dropout_p, attn_dropout_p, act, mm_bf16,
                  res, dout):
-    x, lens, sel_idx, seed, params = res
+    x, lens, sel_idx, seed, params, stash = res
     dx, dparams = _block_sel_bwd(
         x, lens, sel_idx, dout, seed, params, n_heads, hidden_dropout_p,
-        attn_dropout_p, act, mm_bf16,
+        attn_dropout_p, act, mm_bf16, stash_vals=stash,
     )
     return dx, None, None, None, dparams
 
