@@ -289,3 +289,65 @@ def test_bert4rec_fused_sel_matches_fallback(monkeypatch):
     fwd_r = m.forward(params, batch["item_seq"], batch["item_seq_len"])
     np.testing.assert_allclose(loss_f, loss_r, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(fwd_f), np.asarray(fwd_r), atol=5e-5)
+
+
+def test_block_stash_backward_matches_recompute():
+    """The attention pr/ctx stash backward must produce identical dx
+    and grads to the recompute backward for the full block kernel and
+    the selected-positions kernel."""
+    import sys
+
+    import datamining_recblr_tpu.ops.fused_block  # noqa: F401
+    FB = sys.modules["datamining_recblr_tpu.ops.fused_block"]
+
+    rng = np.random.default_rng(7)
+    d, h, t, b, s_n = 8, 2, 16, 11, 4
+    mk = lambda s_: jnp.asarray(  # noqa: E731
+        (0.1 * rng.standard_normal(s_)).astype(np.float32)
+    )
+    p = {
+        "w_q": mk((d, d)), "b_q": mk((d,)), "w_k": mk((d, d)),
+        "b_k": mk((d,)), "w_v": mk((d, d)), "b_v": mk((d,)),
+        "w_o": mk((d, d)), "b_o": mk((d,)),
+        "ln1_s": jnp.ones((d,)), "ln1_b": jnp.zeros((d,)),
+        "w1": mk((d, 4 * d)), "b1": mk((4 * d,)), "w2": mk((4 * d, d)),
+        "b2": mk((d,)), "ln2_s": jnp.ones((d,)), "ln2_b": jnp.zeros((d,)),
+    }
+    x = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
+    dout = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
+    lens = jnp.asarray(rng.integers(2, t + 1, size=b), jnp.int32)
+    seed = jnp.zeros((1,), jnp.int32)
+
+    dx1, g1 = FB._block_bwd(
+        x, lens, dout, seed, p, True, h, 0.0, 0.0, "gelu", block_rows=4
+    )
+    _, stash = FB._block_fwd(
+        x, lens, seed, p, True, h, 0.0, 0.0, "gelu", block_rows=4, stash=True
+    )
+    dx2, g2 = FB._block_bwd(
+        x, lens, dout, seed, p, True, h, 0.0, 0.0, "gelu", block_rows=4,
+        stash_vals=stash,
+    )
+    np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx2), atol=1e-5)
+    for k in g1:
+        np.testing.assert_allclose(
+            np.asarray(g1[k]), np.asarray(g2[k]), atol=1e-4, err_msg=k
+        )
+
+    idx = jnp.asarray(rng.integers(0, 4, size=(b, s_n)), jnp.int32)
+    dsel = jnp.asarray(rng.standard_normal((b, s_n, d)).astype(np.float32))
+    dx1, g1 = FB._block_sel_bwd(
+        x, lens, idx, dsel, seed, p, h, 0.0, 0.0, "gelu", block_rows=4
+    )
+    _, stash = FB._block_sel_fwd(
+        x, lens, idx, seed, p, h, 0.0, 0.0, "gelu", block_rows=4, stash=True
+    )
+    dx2, g2 = FB._block_sel_bwd(
+        x, lens, idx, dsel, seed, p, h, 0.0, 0.0, "gelu", block_rows=4,
+        stash_vals=stash,
+    )
+    np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx2), atol=1e-5)
+    for k in g1:
+        np.testing.assert_allclose(
+            np.asarray(g1[k]), np.asarray(g2[k]), atol=1e-4, err_msg=k
+        )

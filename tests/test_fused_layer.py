@@ -477,3 +477,51 @@ def test_fused_layer_prologue_dropout_replay():
         minus = np.asarray(x).copy(); minus[idx] -= eps
         num = (loss(jnp.asarray(plus)) - loss(jnp.asarray(minus))) / (2 * eps)
         np.testing.assert_allclose(np.asarray(g)[idx], float(num), rtol=5e-2, atol=2e-3)
+
+
+def test_stash_backward_matches_recompute():
+    """The h-stash backward (forward saves the scan output; backward
+    skips its forward scan) must produce identical dx and grads to the
+    recompute backward, stash padding included (non-multiple batch)."""
+    from datamining_recblr_tpu.ops import fused_layer as FL
+
+    rng = np.random.default_rng(5)
+    p = _params(rng)
+    x = jnp.asarray(rng.standard_normal((11, 24, D)).astype(np.float32))
+    dout = jnp.asarray(rng.standard_normal((11, 24, D)).astype(np.float32))
+    seed = jnp.zeros((1,), jnp.int32)
+    dx1, g1 = FL._layer_bwd(x, dout, seed, p, True, True, 0.0, block_rows=4)
+    out, stash = FL._layer_fwd(
+        x, seed, p, True, True, 0.0, block_rows=4, stash=True
+    )
+    assert len(stash) == len(FL._stash_names(True, True))
+    dx2, g2 = FL._layer_bwd(
+        x, dout, seed, p, True, True, 0.0, block_rows=4, stash_vals=stash
+    )
+    np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx2), atol=1e-5)
+    for k in g1:
+        np.testing.assert_allclose(
+            np.asarray(g1[k]), np.asarray(g2[k]), atol=1e-4, err_msg=k
+        )
+
+
+def test_multichain_backward_matches_single():
+    """The independent-chains backward (measured ~neutral on v5e,
+    benchmarks/chain_bench.py, kept for the audit record) must stay
+    bit-equivalent to the single-chain one."""
+    from datamining_recblr_tpu.ops import fused_layer as FL
+
+    rng = np.random.default_rng(6)
+    p = _params(rng)
+    x = jnp.asarray(rng.standard_normal((16, 20, D)).astype(np.float32))
+    dout = jnp.asarray(rng.standard_normal((16, 20, D)).astype(np.float32))
+    seed = jnp.zeros((1,), jnp.int32)
+    dx1, g1 = FL._layer_bwd(x, dout, seed, p, True, True, 0.0, block_rows=4)
+    dx2, g2 = FL._layer_bwd(
+        x, dout, seed, p, True, True, 0.0, block_rows=4, chains=2
+    )
+    np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx2), atol=1e-5)
+    for k in g1:
+        np.testing.assert_allclose(
+            np.asarray(g1[k]), np.asarray(g2[k]), atol=1e-4, err_msg=k
+        )
