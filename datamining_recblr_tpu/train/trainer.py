@@ -39,6 +39,12 @@ from datamining_recblr_tpu.train.optim import build_optimizer
 from datamining_recblr_tpu.utils.logging import MetricsLogger, init_logger
 
 
+# Device-resident training-split budget: above this the unmeshed
+# trainer streams host batches instead (v5e HBM is 16 GB and the split
+# shares it with params, optimizer state, and the step's temps).
+_RESIDENT_SPLIT_BUDGET = 4 * 1024**3
+
+
 class Trainer:
     def __init__(self, config, model, params=None, rng=None, metrics_logger=None):
         self.config = config
@@ -209,13 +215,24 @@ class Trainer:
             "item_seq_len": train.item_seq_len,
             "pos_item": train.pos_item,
         }
-        if self.mesh is None:
+        # unmeshed: the split lives in HBM and steps ship only index
+        # vectors — unless it does not fit (XLong-scale: 3.9M x 1024
+        # int32 = 16 GB > v5e's 16 GB HBM), in which case host batches
+        # stream per step (~2 MB each, hidden under the 20+ ms step)
+        resident_bytes = sum(
+            int(np.asarray(v).nbytes) for v in host_data.values()
+        )
+        stream_unmeshed = (
+            self.mesh is None and resident_bytes > _RESIDENT_SPLIT_BUDGET
+        )
+        dev_data = None
+        if self.mesh is None and not stream_unmeshed:
             dev_data = jax.tree.map(jnp.asarray, host_data)
-        elif mesh_input == "resident":
+        elif self.mesh is not None and mesh_input == "resident":
             from datamining_recblr_tpu.parallel.input import replicate_global
 
             dev_data = replicate_global(host_data, self.mesh)
-        elif mesh_input != "stream":
+        elif self.mesh is not None and mesh_input != "stream":
             raise ValueError(f"mesh_input must be resident|stream, got {mesh_input!r}")
         if checkpoint_path is None:
             checkpoint_path = (
@@ -283,6 +300,18 @@ class Trainer:
                         self.opt_state,
                         shard_host_batch(batch, self.mesh),
                         global_step,
+                    )
+                elif stream_unmeshed:
+                    batch = {
+                        "item_seq": jnp.asarray(train.item_seq[chunk]),
+                        "item_seq_len": jnp.asarray(train.item_seq_len[chunk]),
+                        "pos_item": jnp.asarray(train.pos_item[chunk]),
+                        "weight": jnp.asarray(weight),
+                    }
+                    if use_bpr:
+                        batch["neg_item"] = jnp.asarray(neg)
+                    self.params, self.opt_state, loss = self._train_step_batch(
+                        self.params, self.opt_state, batch, global_step,
                     )
                 else:
                     idx = np.asarray(chunk, np.int32)

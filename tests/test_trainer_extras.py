@@ -162,3 +162,25 @@ def test_checkpoint_roundtrip(tmp_path, synth_data):
     rest = jax.tree.leaves(back["params"])
     for a, b in zip(orig, rest):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_streamed_split_matches_resident(synth_data, tmp_path, monkeypatch):
+    """When the train split exceeds the resident-HBM budget the trainer
+    streams host batches (XLong-scale splits); the trajectory must be
+    identical to the resident-gather path."""
+    import datamining_recblr_tpu.train.trainer as TR
+
+    def run():
+        cfg = _cfg(tmp_path, epochs=2)
+        model = get_model("RecBLR")(
+            cfg, synth_data.n_items, synth_data.max_seq_len
+        )
+        tr = Trainer(cfg, model)
+        tr.fit(synth_data)
+        return tr.evaluate(synth_data.test, load_best=False)
+
+    res_resident = run()
+    monkeypatch.setattr(TR, "_RESIDENT_SPLIT_BUDGET", 0)
+    res_stream = run()
+    for k, v in res_resident.items():
+        assert abs(res_stream[k] - v) < 1e-9, k
