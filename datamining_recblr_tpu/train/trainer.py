@@ -44,6 +44,10 @@ from datamining_recblr_tpu.utils.logging import MetricsLogger, init_logger
 # shares it with params, optimizer state, and the step's temps).
 _RESIDENT_SPLIT_BUDGET = 4 * 1024**3
 
+# Streamed-input runahead bound: sync every N steps so staged host->
+# device transfers cannot pile up (~2 MB/batch x thousands of steps).
+_STREAM_DRAIN_EVERY = 64
+
 
 class Trainer:
     def __init__(self, config, model, params=None, rng=None, metrics_logger=None):
@@ -313,6 +317,15 @@ class Trainer:
                     self.params, self.opt_state, loss = self._train_step_batch(
                         self.params, self.opt_state, batch, global_step,
                     )
+                    if s % _STREAM_DRAIN_EVERY == _STREAM_DRAIN_EVERY - 1:
+                        # true host-device sync (a float() fetch — under
+                        # the remote backend block_until_ready returns
+                        # early): without it the host submits the whole
+                        # epoch's batches ahead of the device and the
+                        # staged transfers accumulate ~15 GB/epoch of
+                        # host RAM (observed OOM-kill at 130 GB on the
+                        # XLong run)
+                        float(loss)
                 else:
                     idx = np.asarray(chunk, np.int32)
                     if self.mesh is not None:
