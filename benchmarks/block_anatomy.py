@@ -16,6 +16,13 @@ T*D = 12,800 for hidden tensors).  Sections stubbed by monkeypatching:
   ffn        : act -> identity-ish
 
 Usage: python benchmarks/block_anatomy.py
+
+MEASURED (v5e, round 4): base 9.28 ms; softmax exp->linear 9.33 (~0);
+matmul stubs 10.09 (stub overhead — inconclusive); all matmuls/bmms
+DOUBLED 13.23 (+43%); attention bmms doubled only 10.92 (+18%).
+Unlike the RecBLR kernel this one has real MXU exposure (dh=32 bmms at
+<=25% utilization) — hence the pr/ctx stash removing the scores bmm +
+softmax + prob@v recompute (block bwd 5.87 -> 4.95 ms in-step).
 """
 
 import os

@@ -20,6 +20,12 @@ the real backward kernel by monkeypatching sections to cheap stand-ins
   - dropout    : dropout_p=0.0
 
 Usage: python benchmarks/bwd_anatomy.py
+
+MEASURED (v5e, round 4): base 6.35 ms; no dropout 5.93; no ffn 4.73;
+no conv 5.99; scan->identity 5.51; ALL matmuls->stubs 6.09 (-4%: MXU
+work is essentially free under the elementwise passes); no matmuls AND
+no scan 5.62.  Conclusion: elementwise pass count is the wall; the
+h-stash (skip the fwd scan in the bwd) was the winning lever.
 """
 
 import os

@@ -22,6 +22,12 @@ per-half-block chains.  If indep_* ~= mm_only + vpu_only: issue is
 serialized and the serial roofline stands.
 
 Usage: python benchmarks/unit_overlap.py [--nm 16] [--nv 48] [--grid 64]
+
+MEASURED (v5e, round 4): mm_only 18.5 us, vpu_only 24.9 us,
+serial 20.8 us, indep_il 26.4 us, indep_seq 32.6 us per program —
+overlap fraction 0.92 on interleaved independent chains, and even the
+data-dependent serial chain overlaps at register granularity (20.8 <
+18.5 + 24.9).  The round-3 serial-sum roofline model is dead.
 """
 
 import argparse
