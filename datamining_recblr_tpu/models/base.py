@@ -64,6 +64,18 @@ class SequentialModel:
         self._vocab_mult = int(
             config.get("vocab_multiple") or mesh_shape.get("model", 1) or 1
         )
+        # huge catalogs (beyond the VMEM-resident CE cap) additionally
+        # pad to the chunked-CE vocab-block width: the table rows then
+        # divide the kernel grid, so the per-step pad/slice of the
+        # 84 MB table disappears from the train step (XLong:
+        # 329,722 -> 329,728, six masked rows)
+        hidden = int(config.get("hidden_size", 64) or 64)
+        from datamining_recblr_tpu.ops import fused_ce
+
+        if not fused_ce.supports(self.n_items, hidden):
+            import math
+
+            self._vocab_mult = math.lcm(self._vocab_mult, fused_ce._BV)
         self.n_items_padded = self.pad_vocab_rows(self.n_items)
         # set by the Trainer when running over a Mesh; lets kernels wrap
         # themselves in shard_map over the data axis
@@ -128,10 +140,23 @@ class SequentialModel:
         crossover."""
         from datamining_recblr_tpu.ops import fused_ce
 
-        if jax.default_backend() != "tpu" or not fused_ce.supports(v, d):
+        if jax.default_backend() != "tpu":
             return False
+        resident = fused_ce.supports(v, d)
+        if not resident and not fused_ce.supports_chunked(v, d):
+            return False
+
+        def enough(rows_here):
+            # resident kernel: the row-count crossover vs XLA's fused CE;
+            # chunked kernel (table beyond VMEM): worth it once the XLA
+            # fallback's [rows, V] f32 logits materialization is large
+            # (XLong [512, 330k] = 676 MB; measured benchmarks/ce_ab.py)
+            if resident:
+                return rows_here >= fused_ce.MIN_ROWS
+            return rows_here * v * 4 >= fused_ce.CHUNK_MIN_LOGITS_BYTES
+
         if self.mesh is None:
-            return rows >= fused_ce.MIN_ROWS
+            return enough(rows)
         from datamining_recblr_tpu.parallel.mesh import DATA_AXIS
         from datamining_recblr_tpu.parallel.sharding import rows_sharded
 
@@ -149,8 +174,7 @@ class SequentialModel:
             bias_rows, self.mesh, d, mode
         ):
             return False
-        shard_rows = rows // self.mesh.shape[DATA_AXIS]
-        return shard_rows >= fused_ce.MIN_ROWS
+        return enough(rows // self.mesh.shape[DATA_AXIS])
 
     def full_sort_scores(self, params, item_seq, item_seq_len):
         """[B, n_items_padded] scores vs the whole catalog (reference

