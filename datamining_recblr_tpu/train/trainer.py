@@ -48,6 +48,15 @@ _RESIDENT_SPLIT_BUDGET = 4 * 1024**3
 # device transfers cannot pile up (~2 MB/batch x thousands of steps).
 _STREAM_DRAIN_EVERY = 64
 
+# Streamed-input dispatch batching: upload K batches as ONE [K, B, T]
+# array and lax.scan over them on device.  The remote-TPU client
+# retains ~1.3 MB per dispatch even after a true sync (round-4 note:
+# ~10 GB/epoch of host RSS on XLong with per-step uploads), so K-fold
+# fewer dispatches cut the retention K-fold; the upload itself stays
+# a modest block.  K is sized to this many bytes per block.
+_STREAM_BLOCK_BYTES = 64 * 1024 * 1024
+_STREAM_BLOCK_MAX_STEPS = 64
+
 
 class Trainer:
     def __init__(self, config, model, params=None, rng=None, metrics_logger=None):
@@ -140,8 +149,29 @@ class Trainer:
             params = jax.tree.map(lambda p, u: p + u.astype(p.dtype), params, updates)
             return params, opt_state, loss
 
+        def train_steps_scan(params, opt_state, batches, step0):
+            """K steps over stacked batches ([K, B, ...] leaves) in one
+            dispatch: a lax.scan whose body is exactly train_step_batch
+            (same fold_in(step) seeding -> trajectory-identical to K
+            separate dispatches)."""
+            k = batches["item_seq"].shape[0]
+
+            def body(carry, xs):
+                params, opt_state = carry
+                batch, i = xs
+                params, opt_state, loss = train_step_batch(
+                    params, opt_state, batch, step0 + i
+                )
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (batches, jnp.arange(k))
+            )
+            return params, opt_state, losses
+
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self._train_step_batch = jax.jit(train_step_batch, donate_argnums=(0, 1))
+        self._train_steps_scan = jax.jit(train_steps_scan, donate_argnums=(0, 1))
 
     # ------------------------------------------------------------------
     def _is_better(self, score):
@@ -246,6 +276,19 @@ class Trainer:
 
         global_step = self.start_epoch * steps_per_epoch
         cur_step = 0
+        if stream_unmeshed:
+            # dispatch-batched streaming: K steps per upload (see
+            # _STREAM_BLOCK_BYTES); the tail under K reuses the
+            # per-step compile
+            row_bytes = 4 * (train.item_seq.shape[1] + 3)
+            k_block = max(
+                1,
+                min(
+                    _STREAM_BLOCK_MAX_STEPS,
+                    _STREAM_BLOCK_BYTES // max(1, self.batch_size * row_bytes),
+                ),
+            )
+            drain_blocks = max(1, _STREAM_DRAIN_EVERY // k_block)
         for epoch in range(self.start_epoch, self.epochs):
             t0 = time.time()
             # per-epoch generator keyed on (seed, epoch): a resumed run
@@ -258,6 +301,8 @@ class Trainer:
                 os.makedirs(self.profile_dir, exist_ok=True)
                 jax.profiler.start_trace(self.profile_dir)
             losses = []
+            stream_block = []
+            stream_dispatches = 0
             for s in range(steps_per_epoch):
                 chunk = perm[s * self.batch_size : (s + 1) * self.batch_size]
                 pad = self.batch_size - len(chunk)
@@ -306,26 +351,57 @@ class Trainer:
                         global_step,
                     )
                 elif stream_unmeshed:
-                    batch = {
-                        "item_seq": jnp.asarray(train.item_seq[chunk]),
-                        "item_seq_len": jnp.asarray(train.item_seq_len[chunk]),
-                        "pos_item": jnp.asarray(train.pos_item[chunk]),
-                        "weight": jnp.asarray(weight),
+                    if not stream_block:
+                        stream_step0 = global_step
+                    nb = {
+                        "item_seq": train.item_seq[chunk],
+                        "item_seq_len": train.item_seq_len[chunk],
+                        "pos_item": train.pos_item[chunk],
+                        "weight": weight,
                     }
                     if use_bpr:
-                        batch["neg_item"] = jnp.asarray(neg)
-                    self.params, self.opt_state, loss = self._train_step_batch(
-                        self.params, self.opt_state, batch, global_step,
-                    )
-                    if s % _STREAM_DRAIN_EVERY == _STREAM_DRAIN_EVERY - 1:
-                        # true host-device sync (a float() fetch — under
-                        # the remote backend block_until_ready returns
-                        # early): without it the host submits the whole
-                        # epoch's batches ahead of the device and the
-                        # staged transfers accumulate ~15 GB/epoch of
-                        # host RAM (observed OOM-kill at 130 GB on the
-                        # XLong run)
-                        float(loss)
+                        nb["neg_item"] = neg
+                    stream_block.append(nb)
+                    loss = None
+                    if len(stream_block) == k_block:
+                        # ONE [K, B, ...] upload + one scan dispatch:
+                        # K-fold fewer dispatches (the remote client
+                        # retains ~1.3 MB per dispatch even after a
+                        # sync — round-4 host-leak note)
+                        stacked = {
+                            key: jnp.asarray(
+                                np.stack([b[key] for b in stream_block])
+                            )
+                            for key in stream_block[0]
+                        }
+                        self.params, self.opt_state, loss = (
+                            self._train_steps_scan(
+                                self.params, self.opt_state, stacked,
+                                stream_step0,
+                            )
+                        )
+                        losses.append(loss)
+                    elif s == steps_per_epoch - 1:
+                        # short tail: per-step path, no extra compile
+                        for j, b in enumerate(stream_block):
+                            self.params, self.opt_state, loss = (
+                                self._train_step_batch(
+                                    self.params, self.opt_state,
+                                    jax.tree.map(jnp.asarray, b),
+                                    stream_step0 + j,
+                                )
+                            )
+                            losses.append(loss)
+                    if loss is not None:
+                        stream_block = []
+                        stream_dispatches += 1
+                        if stream_dispatches % drain_blocks == 0:
+                            # true host-device sync (a float() fetch —
+                            # under the remote backend
+                            # block_until_ready returns early): bounds
+                            # the host's upload runahead to
+                            # drain_blocks staged blocks
+                            float(jnp.max(loss))
                 else:
                     idx = np.asarray(chunk, np.int32)
                     if self.mesh is not None:
@@ -354,9 +430,12 @@ class Trainer:
                         neg,
                         global_step,
                     )
-                losses.append(loss)
+                if not stream_unmeshed:
+                    losses.append(loss)
                 global_step += 1
-            epoch_loss = float(jnp.sum(jnp.stack(losses)))
+            # per-epoch loss = sum of per-batch mean losses (reference's
+            # logged quantity); stream mode appends [K] loss vectors
+            epoch_loss = float(sum(jnp.sum(l) for l in losses))
             if profiling:
                 jax.profiler.stop_trace()
                 self.logger.info(f"profiler trace written to {self.profile_dir}")
@@ -372,6 +451,17 @@ class Trainer:
                 peak = stats.get("peak_bytes_in_use")
                 if peak:
                     record["device_mem_gb"] = round(peak / 2**30, 3)
+            except Exception:
+                pass
+            try:  # host RSS column: tracks the remote-client retention
+                # (round-4 leak note); long streamed runs watch this
+                with open("/proc/self/status") as f:
+                    for ln in f:
+                        if ln.startswith("VmRSS:"):
+                            record["host_rss_gb"] = round(
+                                int(ln.split()[1]) / 2**20, 2
+                            )
+                            break
             except Exception:
                 pass
             line = f"epoch {epoch} training [time: {train_time:.2f}s, train loss: {epoch_loss:.4f}]"

@@ -184,3 +184,10 @@ def test_streamed_split_matches_resident(synth_data, tmp_path, monkeypatch):
     res_stream = run()
     for k, v in res_resident.items():
         assert abs(res_stream[k] - v) < 1e-9, k
+    # dispatch-batched streaming (tiny K so blocks + tail both run):
+    # the lax.scan over stacked batches must reproduce the same
+    # trajectory as per-step dispatches (same fold_in(step) seeding)
+    monkeypatch.setattr(TR, "_STREAM_BLOCK_MAX_STEPS", 2)
+    res_scan = run()
+    for k, v in res_resident.items():
+        assert abs(res_scan[k] - v) < 1e-9, k
