@@ -528,7 +528,9 @@ def _vjp_fwd(x, lens, seed, params, causal, n_heads, hidden_dropout_p,
              attn_dropout_p, act, mm_bf16):
     from datamining_recblr_tpu.ops.fused_layer import _stash_policy
 
-    if _stash_policy(x.shape[1]):
+    b, t, d = x.shape
+    # pr [B, heads, T, T] + ctx [B, T, D], both f32
+    if _stash_policy(t, b * t * (n_heads * t + d) * 4):
         out, stash = _block_fwd(
             x, lens, seed, params, causal, n_heads, hidden_dropout_p,
             attn_dropout_p, act, mm_bf16, stash=True,
@@ -1254,7 +1256,10 @@ def _sel_vjp_fwd(x, lens, sel_idx, seed, params, n_heads, hidden_dropout_p,
                  attn_dropout_p, act, mm_bf16):
     from datamining_recblr_tpu.ops.fused_layer import _stash_policy
 
-    if _stash_policy(x.shape[1]):
+    b, t, d = x.shape
+    s_q = sel_idx.shape[1] if sel_idx is not None else t
+    # pr [B, heads, S, T] + ctx [B, S, D], both f32
+    if _stash_policy(t, b * s_q * (n_heads * t + d) * 4):
         out, stash = _block_sel_fwd(
             x, lens, sel_idx, seed, params, n_heads, hidden_dropout_p,
             attn_dropout_p, act, mm_bf16, stash=True,

@@ -690,17 +690,32 @@ def fused_recurrent_layer(x, seed, params, use_conv, use_ffn, dropout_p,
                       prologue=prologue)
 
 
-def _stash_policy(t: int) -> bool:
+# Per-kernel-call cap on HBM held between forward and backward by a
+# stash.  Flagship shapes: RecBLR h-stash [2048, 200, 128] f32 =
+# 210 MB; SASRec/BERT4Rec pr+ctx = ~760 MB at 2 heads.  A config with
+# more heads/layers or a bigger batch near T=256 could otherwise pile
+# stashes past HBM (each layer's stash lives from its fwd to its bwd,
+# so ~n_layers calls coexist) — above the cap the recompute backward
+# is used instead.
+_STASH_BUDGET_BYTES = 1024**3
+
+
+def _stash_policy(t: int, stash_bytes: int | None = None) -> bool:
     """Stash forward intermediates for the backward iff the sequence is
     short enough that the stash HBM footprint stays modest (~10 MB per
-    8-row block at T=200; scales linearly in T).  Beyond T=256 the
-    recompute backward is kept — the chunked kernel owns T>=512
-    anyway."""
-    return t <= 256
+    8-row block at T=200; scales linearly in T) AND the caller's
+    estimated stash footprint fits the per-call byte budget.  Beyond
+    T=256 the recompute backward is kept — the chunked kernel owns
+    T>=512 anyway."""
+    if t > 256:
+        return False
+    return stash_bytes is None or stash_bytes <= _STASH_BUDGET_BYTES
 
 
 def _vjp_fwd(x, seed, params, use_conv, use_ffn, dropout_p, mm_bf16, prologue):
-    if _stash_policy(x.shape[1]):
+    b, t = x.shape[0], x.shape[1]
+    c = params["w_out"].shape[0]
+    if _stash_policy(t, len(_STASH_SET) * b * t * c * 4):
         out, stash = _layer_fwd(
             x, seed, params, use_conv, use_ffn, dropout_p, mm_bf16,
             prologue=prologue, stash=True,
@@ -1063,7 +1078,12 @@ def _layer_last_bwd(x, lens, dout, seed, params, use_conv, use_ffn, dropout_p,
     stash_specs = []
     if stash_vals is not None:
         c = params["w_in"].shape[1] // 2
-        stash_in.append(_pad_to(stash_vals[0], 0, bt, 0.0))
+        # pad value 1.0, SAME convention as _layer_bwd: padded rows
+        # carry dout == 0 so their grads vanish either way, but if
+        # _STASH_SET ever grows to include "s" a zero pad would hit
+        # the d_beta*si*alpha/s division as 0 * inf = NaN — keep both
+        # wrappers on the safe value
+        stash_in.append(_pad_to(stash_vals[0], 0, bt, 1.0))
         stash_specs.append(
             pl.BlockSpec((bt, t, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -1114,7 +1134,9 @@ def fused_recurrent_layer_last(x, lens, seed, params, use_conv, use_ffn,
 
 
 def _last_vjp_fwd(x, lens, seed, params, use_conv, use_ffn, dropout_p, mm_bf16):
-    if _stash_policy(x.shape[1]):
+    b, t = x.shape[0], x.shape[1]
+    c = params["w_out"].shape[0]
+    if _stash_policy(t, len(_STASH_SET) * b * t * c * 4):
         out, stash = _layer_last_fwd(
             x, lens, seed, params, use_conv, use_ffn, dropout_p, mm_bf16,
             stash=True,

@@ -64,14 +64,17 @@ def _full_spec2(shape):
 
 
 def pick_chunk(t: int, target: int = 128) -> int:
-    """Largest divisor of ``t`` in [8, target] (sequence chunks must
-    tile T exactly and hold at least a conv window / a sublane tile);
-    returns 0 when no such divisor exists (e.g. prime T) — callers gate
-    the chunked path off and fall back.  Target 128 keeps 8-row batch
-    blocks — measured fastest on v5e at T=1024 (9.68 ms fwd+bwd vs
-    9.91 at chunk 256 / 10.24 at 512)."""
+    """Largest divisor of ``t`` in [8, target] that is itself a
+    multiple of 8 (sequence chunks must tile T exactly, hold at least
+    a conv window, AND be sublane-aligned: the chunk is the block's
+    second-to-last dim, which Mosaic requires divisible by 8 — e.g.
+    T=1000 must pick 40, not 125); returns 0 when no such divisor
+    exists (e.g. prime T) — callers gate the chunked path off and fall
+    back.  Target 128 keeps 8-row batch blocks — measured fastest on
+    v5e at T=1024 (9.68 ms fwd+bwd vs 9.91 at chunk 256 / 10.24 at
+    512)."""
     best = 0
-    for d in range(8, min(t, target) + 1):
+    for d in range(8, min(t, target) + 1, 8):
         if t % d == 0:
             best = d
     return best

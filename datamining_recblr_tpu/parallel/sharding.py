@@ -65,10 +65,13 @@ def want_row_shard(
 
 
 def rows_sharded(
-    nrows: int, mesh: Mesh | None, ncols: int = 64, mode: str = "auto"
+    nrows: int, mesh: Mesh | None, ncols: int, mode: str = "auto"
 ) -> bool:
     """True when a vocab-leading tensor with ``nrows`` rows actually
     gets row-sharded over the ``model`` axis by :func:`param_pspecs`:
+    ``ncols`` is required (no 64-wide default) so every call site uses
+    the tensor's real hidden width — a proxy default could silently
+    disagree with param_pspecs for hidden != 64 (ADVICE r4).
     the :func:`want_row_shard` policy says so AND the rows divide the
     axis (models pad rows so this always holds for their tables; the
     divisibility guard remains as a safety net for external callers).

@@ -505,6 +505,51 @@ def test_stash_backward_matches_recompute():
         )
 
 
+def test_stash_backward_matches_recompute_with_dropout():
+    """Same stash-vs-recompute contract with dropout_p > 0: the stash
+    backward must replay the SAME mask draw order as the recompute
+    backward (per-chain seeding in _bwd_kernel_multi).  CPU interpret
+    stubs PRNG bits (all-keep masks), so this exercises the draw-order
+    plumbing; benchmarks/stash_dropout_check.py runs the same
+    comparison with real random masks on hardware."""
+    from datamining_recblr_tpu.ops import fused_layer as FL
+
+    rng = np.random.default_rng(15)
+    p = _params(rng)
+    x = jnp.asarray(rng.standard_normal((8, 16, D)).astype(np.float32))
+    dout = jnp.asarray(rng.standard_normal((8, 16, D)).astype(np.float32))
+    seed = jnp.asarray([7], jnp.int32)
+    dx1, g1 = FL._layer_bwd(x, dout, seed, p, True, True, 0.3, block_rows=4)
+    _, stash = FL._layer_fwd(
+        x, seed, p, True, True, 0.3, block_rows=4, stash=True
+    )
+    dx2, g2 = FL._layer_bwd(
+        x, dout, seed, p, True, True, 0.3, block_rows=4, stash_vals=stash
+    )
+    np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx2), atol=1e-5)
+    for k in g1:
+        np.testing.assert_allclose(
+            np.asarray(g1[k]), np.asarray(g2[k]), atol=1e-4, err_msg=k
+        )
+
+
+def test_stash_policy_byte_budget():
+    """The stash policy caps the fwd->bwd HBM footprint, not just T: a
+    transformer-shaped stash past the budget must fall back to the
+    recompute backward (ADVICE r4: O(B*T^2*heads) pr stashes could
+    pile past HBM with more heads/layers)."""
+    from datamining_recblr_tpu.ops import fused_layer as FL
+
+    assert FL._stash_policy(200, 200 * 2**20)
+    assert not FL._stash_policy(300, 1)  # T gate still holds
+    assert not FL._stash_policy(200, FL._STASH_BUDGET_BYTES + 1)
+    # flagship shapes stay inside the budget
+    assert FL._stash_policy(200, 2048 * 200 * (2 * 200 + 64) * 4)  # pr+ctx
+    assert FL._stash_policy(200, 2048 * 200 * 128 * 4)  # h stash
+    # 8-head transformer at T=256 blows it -> recompute
+    assert not FL._stash_policy(256, 2048 * 256 * (8 * 256 + 64) * 4)
+
+
 def test_multichain_backward_matches_single():
     """The independent-chains backward (measured ~neutral on v5e,
     benchmarks/chain_bench.py, kept for the audit record) must stay

@@ -44,8 +44,13 @@ def _params(use_ffn, rng=0):
 def test_pick_chunk():
     assert pick_chunk(1024) == 128  # default target 128: 8-row blocks
     assert pick_chunk(1024, target=256) == 256
-    assert pick_chunk(200) == 100
+    # chunks must be sublane-aligned (Mosaic: second-to-last block dim
+    # divisible by 8): 200 -> 40 not 100, 1000 -> 40 not 125 (the
+    # latter crashed the TPU lowering when T=1000 ran unpadded)
+    assert pick_chunk(200) == 40
+    assert pick_chunk(1000) == 40
     assert pick_chunk(24, target=8) == 8
+    assert pick_chunk(997) == 0  # prime T: no chunked path
 
 
 @pytest.mark.parametrize("use_conv", [True, False])
