@@ -63,6 +63,8 @@ def generate_stat_matched_interactions(
     *,
     n_clusters: int = 1000,
     markov_weight: float = 0.15,
+    pref_weight: float = 0.0,
+    pref_k: int = 3,
     zipf_a: float = 1.0,
     pop_offset: float = 20.0,
     within_cluster: str = "pop",
@@ -95,6 +97,21 @@ def generate_stat_matched_interactions(
     else jumps popularity-weighted over the whole catalog.  ``markov_weight``
     sets how learnable the sequential signal is — calibrated so ranking
     metrics land in the target dataset's regime rather than a toy one.
+
+    ``pref_weight`` adds a USER-PREFERENCE component (VERDICT r4 #5):
+    each user holds ``pref_k`` latent preferred clusters (drawn
+    popularity-weighted), their first item starts in one, and each next
+    item returns to a preferred cluster with probability
+    ``pref_weight`` (the remaining mass splits between the Markov
+    transition and the popularity jump as before).  This is the
+    co-occurrence signal real feedback data carries that a pure
+    first-order chain lacks: ANY context item now reveals the user's
+    clusters, so a masked-position query (BERT4Rec's cloze) can read
+    relevance from uninformed attention over the whole sequence instead
+    of needing exact position-(L-2) attention first — the mechanism the
+    round-4 beauty-synth diagnostic identified as the generator's gap
+    (BASELINE.md anomaly section).  ``pref_weight=0`` reproduces the
+    old generator exactly.
 
     Vectorized simulation: all users advance one step per iteration
     (max-seq-len iterations total), sampling via per-cluster cumulative
@@ -151,21 +168,42 @@ def generate_stat_matched_interactions(
     def sample_global(k):
         return order[np.searchsorted(global_cum, rng.random(k), side="right")]
 
-    def sample_within(cur):
-        """next item within each current item's cluster"""
-        c = clusters[cur]
+    def sample_in_clusters(c):
+        """one item per entry of cluster-id array ``c`` (within-cluster
+        distribution set by ``within_cluster``)"""
         lo, hi = starts[c], starts[c + 1]
         if within_cluster == "uniform":
-            return order[lo + (rng.random(cur.shape[0]) * (hi - lo)).astype(np.int64)]
+            return order[lo + (rng.random(c.shape[0]) * (hi - lo)).astype(np.int64)]
         table = cum_sqrt if within_cluster == "sqrt" else cum
         base = np.where(lo > 0, table[np.maximum(lo - 1, 0)], 0.0)
         top = table[hi - 1]
-        u = base + rng.random(cur.shape[0]) * (top - base)
+        u = base + rng.random(c.shape[0]) * (top - base)
         return order[np.minimum(np.searchsorted(table, u, side="right"), hi - 1)]
+
+    def sample_within(cur):
+        """next item within each current item's cluster"""
+        return sample_in_clusters(clusters[cur])
+
+    # --- per-user latent cluster preferences (pref_weight > 0 only, so
+    # the rng call sequence — and therefore every existing preset
+    # dataset — is bit-identical when the component is off)
+    use_pref = pref_weight > 0.0
+    if use_pref:
+        cluster_mass = np.bincount(clusters, weights=pop, minlength=n_clusters)
+        pref_clusters = rng.choice(
+            n_clusters, size=(n_users, pref_k),
+            p=cluster_mass / cluster_mass.sum(),
+        )
+
+        def sample_pref(users):
+            pc = pref_clusters[users, rng.integers(0, pref_k, users.shape[0])]
+            return sample_in_clusters(pc)
 
     # --- vectorized Markov walk, all users in lockstep
     max_len = int(lens.max())
-    cur = sample_global(n_users)
+    cur = (
+        sample_pref(np.arange(n_users)) if use_pref else sample_global(n_users)
+    )
     users_sorted = np.argsort(-lens, kind="stable")  # longest first: active prefix
     lens_sorted = lens[users_sorted]
     items_flat = np.empty(n_inters, dtype=np.int64)
@@ -180,8 +218,12 @@ def generate_stat_matched_interactions(
             break
         act = cur[:n_active]
         items_flat[col_offsets[t] : col_offsets[t] + n_active] = act
-        stay = rng.random(n_active) < markov_weight
+        r = rng.random(n_active)
+        stay = r < markov_weight
         nxt = np.where(stay, sample_within(act), sample_global(n_active))
+        if use_pref:
+            prefm = (~stay) & (r < markov_weight + pref_weight)
+            nxt = np.where(prefm, sample_pref(users_sorted[:n_active]), nxt)
         cur[:n_active] = nxt
 
     # --- exact-count fix-up: lift items below min_item_count by stealing
