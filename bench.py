@@ -144,6 +144,51 @@ def serve_main(model_name: str = "RecBLR"):
             )
         )
 
+    # device-side single-user step time (VERDICT r4 #6): K recommend
+    # steps CHAINED inside one jitted fori_loop (each iteration's seq
+    # depends on the previous top-1 id, so no step can be elided or
+    # overlapped away), one dispatch + one scalar fetch.  Differential
+    # over two K values removes the dispatch/RTT constant, leaving the
+    # pure device step — the number a locally-attached chip would see.
+    if on_tpu:
+        batch = seqs(1)
+        b, t = 1, max_len
+        seq = np.zeros((b, t), np.int32)
+        seq[0, : len(batch[0])] = np.asarray(batch[0], np.int32)[-t:]
+        lens = np.asarray([min(len(batch[0]), t)], np.int32)
+        hist = np.zeros((b, model.n_items_padded), bool)
+        seq_j, lens_j, hist_j = map(jnp.asarray, (seq, lens, hist))
+
+        def chain(k):
+            @jax.jit
+            def run(params, seq, lens, hist):
+                def body(i, carry):
+                    seq, acc = carry
+                    vals, ids = rec._step(params, seq, lens, hist)
+                    seq = seq.at[:, 0].set(ids[:, 0].astype(seq.dtype))
+                    return seq, acc + vals[0, 0]
+
+                _, acc = jax.lax.fori_loop(0, k, body, (seq, jnp.float32(0)))
+                return acc
+
+            float(run(rec.params, seq_j, lens_j, hist_j))  # compile+warm
+            t0 = time.perf_counter()
+            float(run(rec.params, seq_j, lens_j, hist_j))
+            return time.perf_counter() - t0
+
+        k_small, k_big = 40, 200
+        step_ms = (chain(k_big) - chain(k_small)) / (k_big - k_small) * 1e3
+        print(
+            json.dumps(
+                {
+                    "metric": f"{model_name.lower()}_serve_device_step_ms",
+                    "value": round(step_ms, 3),
+                    "unit": "ms",
+                    "vs_baseline": 0.0,
+                }
+            )
+        )
+
 
 def main(model_name: str = "RecBLR", mesh_shape: dict | None = None):
     from datamining_recblr_tpu.config import Config

@@ -41,7 +41,7 @@ def iter_batches(split, batch_size: int, *, shuffle=False, rng=None, neg_items=N
             chunk = np.concatenate([chunk, np.zeros(pad, np.int64)])
             weight[len(weight) - pad :] = 0.0
         batch = {
-            "item_seq": split.item_seq[chunk],
+            "item_seq": split.windows(chunk),
             "item_seq_len": split.item_seq_len[chunk],
             "pos_item": split.pos_item[chunk],
             "user_id": split.user_id[chunk],

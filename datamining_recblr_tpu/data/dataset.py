@@ -37,6 +37,11 @@ from datamining_recblr_tpu.data.atomic import read_atomic_file
 
 _INTERVAL_RE = re.compile(r"^\s*([\[(])\s*([^,]+)\s*,\s*([^)\]]+)\s*([)\]])\s*$")
 
+# Above this many [N, L] elements (1 GB of int32) the augmented train
+# split is built in COMPACT form (windows into per-user streams) and
+# never materialized dense — see SplitArrays.
+_COMPACT_TRAIN_ELEMS = 256 * 1024 * 1024
+
 
 def parse_interval(spec: str | None):
     """Parse a RecBole interval string like ``"[5,inf)"`` into an
@@ -89,23 +94,74 @@ def kcore_filter(
 
 @dataclass
 class SplitArrays:
-    """Fixed-shape sample arrays for one split."""
+    """Fixed-shape sample arrays for one split.
 
-    item_seq: np.ndarray      # [N, L] int32, right-padded with 0
+    Two storage forms:
+
+    * DENSE: ``item_seq [N, L]`` holds every sample's window.
+    * COMPACT (large train splits): ``item_seq is None``; each sample j
+      is the left-aligned window ``flat_items[flat_start[j] :
+      flat_start[j] + item_seq_len[j]]`` of the concatenated per-user
+      item streams.  Augmented prefix samples are just windows into
+      those streams, so the compact form is ~L times smaller (XLong:
+      ~63 MB vs 16 GB) — small enough to live device-resident, which is
+      what makes XLong-scale training feed the chip over a ~20 MB/s
+      remote tunnel (the dense split cannot: ~16 GB/epoch of batch
+      uploads).  ``windows()`` materializes dense rows on the host for
+      consumers that need them.
+    """
+
+    item_seq: np.ndarray | None  # [N, L] int32, right-padded with 0 (dense)
     item_seq_len: np.ndarray  # [N]    int32
     pos_item: np.ndarray      # [N]    int32 target item
     user_id: np.ndarray       # [N]    int32
+    flat_items: np.ndarray | None = None  # [total] int32 (compact)
+    flat_start: np.ndarray | None = None  # [N]     int32 (compact)
+    max_seq_len: int = 0      # L (compact; dense reads item_seq.shape[1])
 
     def __len__(self):
         return len(self.pos_item)
 
+    @property
+    def compact(self) -> bool:
+        return self.item_seq is None
+
+    @property
+    def seq_len(self) -> int:
+        return self.max_seq_len if self.compact else self.item_seq.shape[1]
+
     def take(self, idx):
+        if self.compact:
+            return SplitArrays(
+                None,
+                self.item_seq_len[idx],
+                self.pos_item[idx],
+                self.user_id[idx],
+                flat_items=self.flat_items,
+                flat_start=self.flat_start[idx],
+                max_seq_len=self.max_seq_len,
+            )
         return SplitArrays(
             self.item_seq[idx],
             self.item_seq_len[idx],
             self.pos_item[idx],
             self.user_id[idx],
         )
+
+    def windows(self, idx) -> np.ndarray:
+        """[len(idx), L] int32 dense windows for the given sample rows
+        (host-side; works on both storage forms)."""
+        if not self.compact:
+            return self.item_seq[idx]
+        t = self.max_seq_len
+        start = self.flat_start[idx].astype(np.int64)
+        lens = self.item_seq_len[idx]
+        cols = start[:, None] + np.arange(t, dtype=np.int64)[None, :]
+        valid = np.arange(t, dtype=np.int32)[None, :] < lens[:, None]
+        flat = self.flat_items
+        return np.where(
+            valid, flat[np.minimum(cols, len(flat) - 1)], 0
+        ).astype(np.int32)
 
 
 @dataclass
@@ -226,12 +282,48 @@ def build_from_dataframe(
             usr[j] = u
         return SplitArrays(seq, lens, tgt, usr)
 
+    def train_compact() -> SplitArrays:
+        """COMPACT train split: augmented prefix samples as windows into
+        the concatenated per-user streams — identical sample ORDER and
+        content to the dense to_arrays(train_samples) build (users in
+        remapped-id order, k ascending; verified by
+        tests/test_data.py::test_compact_train_split_matches_dense)."""
+        lens_u = np.array([len(x) for x in user_train_items], np.int64)
+        flat = (
+            np.concatenate([x for x in user_train_items if len(x)])
+            if lens_u.sum()
+            else np.empty(0, np.int32)
+        ).astype(np.int32)
+        off = np.concatenate([[0], np.cumsum(lens_u)])[:-1]
+        n_per = np.maximum(lens_u - 1, 0)
+        usr = np.repeat(np.arange(n_users), n_per).astype(np.int32)
+        # per-sample prefix length k = 1..L_u-1, restarting at each user
+        k = (
+            np.arange(int(n_per.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(n_per) - n_per, n_per)
+            + 1
+        )
+        tgt = flat[off[usr] + k].astype(np.int32)
+        lens_s = np.minimum(k, max_seq_len).astype(np.int32)
+        start = (off[usr] + k - lens_s).astype(np.int32)
+        return SplitArrays(
+            None, lens_s, tgt, usr,
+            flat_items=flat, flat_start=start, max_seq_len=max_seq_len,
+        )
+
+    # large augmented train splits skip the [N, L] host materialization
+    # entirely (XLong: 3.9M x 1024 = 16 GB host RAM + a 16 GB/epoch
+    # upload stream); the compact form feeds the device-resident
+    # assembly path in train/trainer.py
+    n_train_elems = len(train_samples) * max_seq_len
+    use_compact = augment_train and n_train_elems > _COMPACT_TRAIN_ELEMS
+
     return SeqData(
         n_users=n_users,
         n_items=n_items,
         n_interactions=len(df),
         max_seq_len=max_seq_len,
-        train=to_arrays(train_samples),
+        train=train_compact() if use_compact else to_arrays(train_samples),
         valid=to_arrays(valid_samples),
         test=to_arrays(test_samples),
         user_token2id=u_t2i,

@@ -63,7 +63,10 @@ def run_experiment(
     # FLOPs of one forward at train batch size (reference run.py:77-78)
     bs = min(int(config["train_batch_size"]), max(len(data.train), 1))
     if len(data.train):
-        ex_seq = jax.numpy.asarray(data.train.item_seq[:bs])
+        import numpy as _np
+        ex_seq = jax.numpy.asarray(
+            data.train.windows(_np.arange(min(bs, len(data.train))))
+        )
         ex_len = jax.numpy.asarray(data.train.item_seq_len[:bs])
         flops = forward_flops(
             lambda s, l: model.forward(trainer.params, s, l), ex_seq, ex_len

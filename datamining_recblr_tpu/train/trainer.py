@@ -120,12 +120,34 @@ class Trainer:
             # index vector.  Under a mesh the split is replicated and idx
             # arrives data-sharded, so the gather is shard-local (no
             # collectives) and the batch comes out data-sharded.
-            batch = {
-                "item_seq": data["item_seq"][idx],
-                "item_seq_len": data["item_seq_len"][idx],
-                "pos_item": data["pos_item"][idx],
-                "weight": weight,
-            }
+            if "flat_items" in data:
+                # COMPACT split (SplitArrays compact form): samples are
+                # windows into the concatenated per-user item streams;
+                # assemble the [B, T] batch ON DEVICE with one gather —
+                # XLong's 16 GB dense split never exists anywhere, and
+                # per-step host->device traffic is one index vector
+                t = int(self.model.max_seq_len)
+                start = data["flat_start"][idx]
+                lens = data["item_seq_len"][idx]
+                flat = data["flat_items"]
+                cols = start[:, None] + jnp.arange(t, dtype=start.dtype)[None, :]
+                valid = jnp.arange(t, dtype=jnp.int32)[None, :] < lens[:, None]
+                seq = jnp.where(
+                    valid, flat[jnp.minimum(cols, flat.shape[0] - 1)], 0
+                )
+                batch = {
+                    "item_seq": seq,
+                    "item_seq_len": lens,
+                    "pos_item": data["pos_item"][idx],
+                    "weight": weight,
+                }
+            else:
+                batch = {
+                    "item_seq": data["item_seq"][idx],
+                    "item_seq_len": data["item_seq_len"][idx],
+                    "pos_item": data["pos_item"][idx],
+                    "weight": weight,
+                }
             if use_bpr:
                 batch["neg_item"] = neg
             step_rng = jax.random.fold_in(self.base_rng, step)
@@ -244,11 +266,22 @@ class Trainer:
         # every step (for splits too big to replicate in HBM — the only
         # mesh mode in round 1, now the fallback)
         mesh_input = str(self.config.get("mesh_input", "resident"))
-        host_data = {
-            "item_seq": train.item_seq,
-            "item_seq_len": train.item_seq_len,
-            "pos_item": train.pos_item,
-        }
+        if train.compact:
+            # compact split: ~L times smaller than dense, so it is
+            # always resident (XLong: ~63 MB on device vs a 16 GB/epoch
+            # host->device batch stream over a ~20 MB/s remote tunnel)
+            host_data = {
+                "flat_items": train.flat_items,
+                "flat_start": train.flat_start,
+                "item_seq_len": train.item_seq_len,
+                "pos_item": train.pos_item,
+            }
+        else:
+            host_data = {
+                "item_seq": train.item_seq,
+                "item_seq_len": train.item_seq_len,
+                "pos_item": train.pos_item,
+            }
         # unmeshed: the split lives in HBM and steps ship only index
         # vectors — unless it does not fit (XLong-scale: 3.9M x 1024
         # int32 = 16 GB > v5e's 16 GB HBM), in which case host batches
@@ -280,7 +313,7 @@ class Trainer:
             # dispatch-batched streaming: K steps per upload (see
             # _STREAM_BLOCK_BYTES); the tail under K reuses the
             # per-step compile
-            row_bytes = 4 * (train.item_seq.shape[1] + 3)
+            row_bytes = 4 * (train.seq_len + 3)
             k_block = max(
                 1,
                 min(
@@ -337,7 +370,7 @@ class Trainer:
                     # local row range — deterministic for any host count
                     lo, hi = process_local_rows(self.batch_size, self.mesh)
                     batch = {
-                        "item_seq": train.item_seq[chunk[lo:hi]],
+                        "item_seq": train.windows(chunk[lo:hi]),
                         "item_seq_len": train.item_seq_len[chunk[lo:hi]],
                         "pos_item": train.pos_item[chunk[lo:hi]],
                         "weight": weight[lo:hi],
@@ -354,7 +387,7 @@ class Trainer:
                     if not stream_block:
                         stream_step0 = global_step
                     nb = {
-                        "item_seq": train.item_seq[chunk],
+                        "item_seq": train.windows(chunk),
                         "item_seq_len": train.item_seq_len[chunk],
                         "pos_item": train.pos_item[chunk],
                         "weight": weight,

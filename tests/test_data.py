@@ -153,6 +153,42 @@ def test_stat_matched_generator_exact_counts():
     assert (ts.diff().dropna() > 0).all()
 
 
+def test_compact_train_split_matches_dense(monkeypatch):
+    """The COMPACT train split (windows into per-user streams, built
+    for XLong-scale splits that must never materialize [N, L]) must
+    hold exactly the same samples in exactly the same order as the
+    dense build — the trainer's seeded permutation indexes by row."""
+    import numpy as np
+
+    import datamining_recblr_tpu.data.dataset as DS
+    from datamining_recblr_tpu.data.synthetic import (
+        generate_synthetic_interactions,
+    )
+
+    df = generate_synthetic_interactions(
+        n_users=50, n_items=30, min_len=6, max_len=18, seed=11
+    )
+    dense = DS.build_from_dataframe(df, max_seq_len=8)
+    monkeypatch.setattr(DS, "_COMPACT_TRAIN_ELEMS", 0)
+    comp = DS.build_from_dataframe(df, max_seq_len=8)
+
+    assert not dense.train.compact and comp.train.compact
+    assert comp.train.item_seq is None
+    assert len(comp.train) == len(dense.train)
+    assert comp.train.seq_len == dense.train.seq_len == 8
+    idx = np.arange(len(dense.train))
+    np.testing.assert_array_equal(comp.train.windows(idx), dense.train.item_seq)
+    np.testing.assert_array_equal(comp.train.item_seq_len, dense.train.item_seq_len)
+    np.testing.assert_array_equal(comp.train.pos_item, dense.train.pos_item)
+    np.testing.assert_array_equal(comp.train.user_id, dense.train.user_id)
+    # take() keeps the compact form consistent
+    sub = comp.train.take(idx[5:17])
+    np.testing.assert_array_equal(sub.windows(np.arange(12)),
+                                  dense.train.item_seq[5:17])
+    # valid/test stay dense
+    assert not comp.valid.compact and not comp.test.compact
+
+
 def test_stat_matched_user_preference_component():
     """pref_weight > 0 keeps the exact-stats contract AND concentrates
     each user's items into their latent preferred clusters (the

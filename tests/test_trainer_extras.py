@@ -191,3 +191,33 @@ def test_streamed_split_matches_resident(synth_data, tmp_path, monkeypatch):
     res_scan = run()
     for k, v in res_resident.items():
         assert abs(res_scan[k] - v) < 1e-9, k
+
+
+def test_compact_split_trains_identically(tmp_path, monkeypatch):
+    """The COMPACT train split's on-device batch assembly (gather from
+    the flat item stream) must reproduce the dense resident path's
+    trajectory exactly — same samples, same order, same seeding."""
+    import datamining_recblr_tpu.data.dataset as DS
+    from datamining_recblr_tpu.data.synthetic import (
+        generate_synthetic_interactions,
+    )
+
+    df = generate_synthetic_interactions(
+        n_users=80, n_items=40, min_len=8, max_len=20, markov_weight=0.9,
+        seed=21,
+    )
+
+    def run(data):
+        cfg = _cfg(tmp_path, epochs=2)
+        model = get_model("RecBLR")(cfg, data.n_items, data.max_seq_len)
+        tr = Trainer(cfg, model)
+        tr.fit(data)
+        return tr.evaluate(data.test, load_best=False)
+
+    res_dense = run(DS.build_from_dataframe(df, max_seq_len=16))
+    monkeypatch.setattr(DS, "_COMPACT_TRAIN_ELEMS", 0)
+    data_c = DS.build_from_dataframe(df, max_seq_len=16)
+    assert data_c.train.compact
+    res_compact = run(data_c)
+    for k, v in res_dense.items():
+        assert abs(res_compact[k] - v) < 1e-9, k
