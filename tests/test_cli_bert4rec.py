@@ -1,11 +1,13 @@
 """run_bert4rec.py CLI smoke test (in-process, CPU)."""
 
+import pytest
 import os
 import sys
 
 from datamining_recblr_tpu.data.synthetic import write_synthetic_inter
 
 
+@pytest.mark.slow
 def test_run_bert4rec_cli(tmp_path, monkeypatch):
     for name in ["toyA", "toyB"]:
         write_synthetic_inter(

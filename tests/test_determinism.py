@@ -35,6 +35,7 @@ def _fit(synth_data, tmp_path, tag, seed):
     return [r["train_loss"] for r in tr.metrics.epoch_records()], tr
 
 
+@pytest.mark.slow
 def test_same_seed_identical_trajectory(synth_data, tmp_path):
     losses1, tr1 = _fit(synth_data, tmp_path, "a", 2020)
     losses2, tr2 = _fit(synth_data, tmp_path, "b", 2020)

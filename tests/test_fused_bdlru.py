@@ -61,6 +61,7 @@ def test_fused_vjp_matches_unfused(use_conv):
         )
 
 
+@pytest.mark.slow
 def test_model_fused_path_matches_unfused_path():
     from datamining_recblr_tpu.config import Config
     from datamining_recblr_tpu.models import get_model

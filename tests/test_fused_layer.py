@@ -73,6 +73,7 @@ def test_fused_layer_forward(use_conv, use_ffn):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_fused_layer_vjp():
     rng = np.random.default_rng(7)
     p = _params(rng)
@@ -192,6 +193,7 @@ def test_fused_dropout_ln_mask_replay():
         np.testing.assert_allclose(np.asarray(g)[idx], float(num), rtol=5e-2, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_model_uses_fused_layer_and_matches():
     from datamining_recblr_tpu.config import Config
     from datamining_recblr_tpu.models import get_model
@@ -383,6 +385,7 @@ def test_fused_ln_dropout_mask_replay():
         np.testing.assert_allclose(np.asarray(g)[idx], float(num), rtol=5e-2, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_fused_layer_last_dropout_replay_across_blocks():
     """fwd and bwd of the last-variant must share one block-to-row
     mapping or the seed+program_id dropout replay silently breaks on
@@ -416,6 +419,7 @@ def test_fused_layer_last_dropout_replay_across_blocks():
     np.testing.assert_allclose(np.asarray(g)[idx], float(num), rtol=5e-2, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_fused_layer_prologue_forward_and_vjp():
     """prologue=True folds dropout->LN before the layer; at p=0 it must
     equal LN then the layer, with grads for pl_s/pl_b."""
@@ -550,6 +554,7 @@ def test_stash_policy_byte_budget():
     assert not FL._stash_policy(256, 2048 * 256 * (8 * 256 + 64) * 4)
 
 
+@pytest.mark.slow
 def test_multichain_backward_matches_single():
     """The independent-chains backward (measured ~neutral on v5e,
     benchmarks/chain_bench.py, kept for the audit record) must stay

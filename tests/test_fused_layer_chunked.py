@@ -56,6 +56,7 @@ def test_pick_chunk():
 @pytest.mark.parametrize("use_conv", [True, False])
 @pytest.mark.parametrize("use_ffn", [True, False])
 @pytest.mark.parametrize("prologue", [False, True])
+@pytest.mark.slow
 def test_chunked_matches_whole_t(use_conv, use_ffn, prologue):
     flat = _params(use_ffn)
     if prologue:
@@ -150,6 +151,7 @@ def test_chunked_model_under_mesh_matches_unmeshed():
     )
 
 
+@pytest.mark.slow
 def test_xlong_vocab_mesh_composition_grads():
     """The composition multi-chip exists for (VERDICT r3 #6): chunked
     fused layer at T=1024 x large vocab (V past the scatter-add

@@ -68,6 +68,7 @@ def test_fused_ce_mesh_valid_v_masking():
 
 
 @pytest.mark.parametrize("name", ["SASRec", "BERT4Rec"])
+@pytest.mark.slow
 def test_fused_transformer_under_mesh_matches_unfused(name, monkeypatch):
     mesh = make_mesh({"data": 4, "model": 2})
     n_items, max_len, b = 64, 8, 16

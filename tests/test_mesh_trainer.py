@@ -14,6 +14,8 @@ from datamining_recblr_tpu.data.synthetic import generate_synthetic_interactions
 from datamining_recblr_tpu.models import get_model
 from datamining_recblr_tpu.train import Trainer
 
+pytestmark = pytest.mark.slow  # heavy multi-device trajectory pins
+
 
 @pytest.fixture(scope="module")
 def synth_data():

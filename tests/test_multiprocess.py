@@ -8,9 +8,13 @@ address changes."""
 
 import json
 import socket
+
+import pytest
 import subprocess
 import sys
 from pathlib import Path
+
+pytestmark = pytest.mark.slow  # heavy multi-device trajectory pins
 
 WORKER = str(Path(__file__).with_name("mp_worker.py"))
 

@@ -70,6 +70,7 @@ def test_embedding_row_sharded(mesh, setup):
     assert params["layers"][0]["grl"]["w_in"].sharding.spec in (P(), P(None, None))
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device(mesh, setup):
     _, model, optimizer = setup
     rng = jax.random.PRNGKey(0)
@@ -107,6 +108,7 @@ def test_sharded_train_step_matches_single_device(mesh, setup):
     assert np.isfinite(float(loss2))
 
 
+@pytest.mark.slow
 def test_sharded_eval_matches_unsharded(mesh, setup):
     _, model, optimizer = setup
     rng = jax.random.PRNGKey(1)

@@ -2,6 +2,7 @@
 follows the reference math (reference RecBLR.py:75-84,170-207,210-227)
 step by step, sharing the same parameter values."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -125,6 +126,7 @@ def test_ablation_flags():
     assert m.disable_conv1d and m.disable_ffn
 
 
+@pytest.mark.slow
 def test_loss_and_grads_finite():
     model = _make_model()
     params = model.init_params(jax.random.PRNGKey(0))

@@ -16,6 +16,8 @@ from datamining_recblr_tpu.models import get_model
 from datamining_recblr_tpu.parallel import make_mesh, shard_batch
 from datamining_recblr_tpu.train.optim import build_optimizer
 
+pytestmark = pytest.mark.slow  # heavy multi-device trajectory pins
+
 N_ITEMS, MAX_LEN, B = 128, 32, 16
 
 

@@ -10,6 +10,8 @@ from datamining_recblr_tpu.ops.scan import linear_scan_serial, linear_scan_xla
 from datamining_recblr_tpu.ops.seq_parallel_scan import seq_parallel_scan
 from datamining_recblr_tpu.parallel import make_mesh
 
+pytestmark = pytest.mark.slow  # heavy multi-device trajectory pins
+
 
 @pytest.fixture(scope="module")
 def mesh():

@@ -51,6 +51,7 @@ def test_history_fn_masks_seen_items(synth_data):
         assert not mask[j, 0]  # PAD never marked
 
 
+@pytest.mark.slow
 def test_mask_history_changes_eval(synth_data, tmp_path):
     cfg = _cfg(tmp_path)
     model = get_model("RecBLR")(cfg, synth_data.n_items, synth_data.max_seq_len)
@@ -65,6 +66,7 @@ def test_mask_history_changes_eval(synth_data, tmp_path):
     assert 0 <= masked["ndcg@10"] <= 1 and 0 <= plain["ndcg@10"] <= 1
 
 
+@pytest.mark.slow
 def test_resume_continues_training(synth_data, tmp_path):
     cfg = _cfg(tmp_path, epochs=2)
     model = get_model("RecBLR")(cfg, synth_data.n_items, synth_data.max_seq_len)
@@ -86,6 +88,7 @@ def test_resume_continues_training(synth_data, tmp_path):
     assert min(epochs_run) == t2.start_epoch
 
 
+@pytest.mark.slow
 def test_resume_trajectory_matches_uninterrupted(synth_data, tmp_path):
     """A resumed run must replay the exact loss trajectory of the
     uninterrupted run: per-epoch permutations derive from (seed, epoch),
@@ -164,6 +167,7 @@ def test_checkpoint_roundtrip(tmp_path, synth_data):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_streamed_split_matches_resident(synth_data, tmp_path, monkeypatch):
     """When the train split exceeds the resident-HBM budget the trainer
     streams host batches (XLong-scale splits); the trajectory must be
@@ -193,6 +197,28 @@ def test_streamed_split_matches_resident(synth_data, tmp_path, monkeypatch):
         assert abs(res_scan[k] - v) < 1e-9, k
 
 
+def test_epoch_scan_matches_per_step(synth_data, tmp_path):
+    """The one-dispatch-per-epoch lax.scan path must reproduce the
+    per-step resident path's trajectory exactly (same permutation
+    slices, same weight masking of the padded tail, same fold_in
+    seeding)."""
+
+    def run(scan):
+        cfg = _cfg(tmp_path, epochs=2, epoch_scan=scan)
+        model = get_model("RecBLR")(
+            cfg, synth_data.n_items, synth_data.max_seq_len
+        )
+        tr = Trainer(cfg, model)
+        tr.fit(synth_data)
+        return tr.evaluate(synth_data.test, load_best=False)
+
+    res_scan = run(True)
+    res_step = run(False)
+    for k, v in res_step.items():
+        assert abs(res_scan[k] - v) < 1e-9, k
+
+
+@pytest.mark.slow
 def test_compact_split_trains_identically(tmp_path, monkeypatch):
     """The COMPACT train split's on-device batch assembly (gather from
     the flat item stream) must reproduce the dense resident path's

@@ -111,6 +111,7 @@ def test_mode_none_skips_oov_users(tmp_path):
         assert (split.item_seq_len >= 1).all()
 
 
+@pytest.mark.slow
 def test_full_unseen_pipeline_both_modes(tmp_path):
     cfg, _ = _setup_dataset(tmp_path)
     pdir = str(tmp_path / "plot")

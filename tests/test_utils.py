@@ -1,6 +1,7 @@
 """Utility-layer tests: FLOPs counting, environment report, metrics
 logger, plotting dataframes, profiler hook."""
 
+import pytest
 import json
 import os
 
@@ -57,6 +58,7 @@ def test_generate_plots(tmp_path):
     assert "hit@10" in df.columns
 
 
+@pytest.mark.slow
 def test_trainer_profile_dir(tmp_path):
     from datamining_recblr_tpu.config import Config
     from datamining_recblr_tpu.data.synthetic import generate_synthetic_interactions
