@@ -51,6 +51,7 @@ def test_model_registry_aliases():
     assert get_model("B") is get_model("BERT4Rec")
 
 
+@pytest.mark.slow
 def test_sasrec_learns(synth_data, tmp_path):
     cfg = _cfg("SASRec", tmp_path)
     model = get_model("SASRec")(cfg, synth_data.n_items, synth_data.max_seq_len)
@@ -102,6 +103,7 @@ def test_bert4rec_full_scores_excludes_mask_row(synth_data, tmp_path):
     assert scores.shape == (4, synth_data.n_items)  # no mask-token column
 
 
+@pytest.mark.slow
 def test_bert4rec_learns(synth_data, tmp_path):
     cfg = _cfg("BERT4Rec", tmp_path, epochs=6)
     model = BERT4Rec(cfg, synth_data.n_items, synth_data.max_seq_len)

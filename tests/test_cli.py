@@ -111,6 +111,7 @@ def test_prepare_item_features_cli(toy_env, monkeypatch):
     assert os.path.exists(tmp_path / "dataset" / "toy" / "toy_item_features.csv")
 
 
+@pytest.mark.slow
 def test_full_exp_comp_is_ablation_of_one_model(toy_env, monkeypatch):
     # reference full_exp.py:127-143: --exp comp = ablations of --model
     tmp_path, cfg = toy_env

@@ -45,6 +45,7 @@ def test_same_seed_identical_trajectory(synth_data, tmp_path):
     assert r1 == r2
 
 
+@pytest.mark.slow
 def test_different_seed_differs(synth_data, tmp_path):
     losses1, _ = _fit(synth_data, tmp_path, "c", 2020)
     losses2, _ = _fit(synth_data, tmp_path, "d", 7)

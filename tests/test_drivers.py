@@ -2,6 +2,7 @@
 disk through config -> data -> fit -> test -> plots, plus the config
 system layering."""
 
+import pytest
 import os
 
 import numpy as np
@@ -36,6 +37,7 @@ def test_reference_config_yaml_loads():
     assert cfg["valid_metric"] == "NDCG@10"
 
 
+@pytest.mark.slow
 def test_run_experiment_from_inter_file(tmp_path):
     ddir = tmp_path / "dataset" / "toy"
     write_synthetic_inter(

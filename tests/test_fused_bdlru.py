@@ -44,6 +44,7 @@ def test_fused_forward_matches_unfused(b, t, c, use_conv):
 
 
 @pytest.mark.parametrize("use_conv", [True, False])
+@pytest.mark.slow
 def test_fused_vjp_matches_unfused(use_conv):
     rng = np.random.default_rng(17)
     args = _case(rng, 5, 10, 128)  # batch not a multiple of BT

@@ -57,6 +57,7 @@ def test_fused_block_forward_matches_xla(causal, act):
 
 
 @pytest.mark.parametrize("causal", [True, False])
+@pytest.mark.slow
 def test_fused_block_grads_match_xla(causal):
     layers, x, lens, item_seq = _setup(seed=1)
     mask = L.attention_mask(item_seq, bidirectional=not causal)
@@ -96,6 +97,7 @@ def test_fused_block_multihead_supports_gate():
     assert not FB.supports(64, 2, 256, 200, "mish")   # unsupported act
 
 
+@pytest.mark.slow
 def test_sasrec_forward_with_fused_block(monkeypatch):
     """End-to-end: SASRec forward through the fused encoder path
     (forced on CPU interpret mode) matches the default composition."""
@@ -252,6 +254,7 @@ def test_fused_block_sel_grads_match_full():
         )
 
 
+@pytest.mark.slow
 def test_bert4rec_fused_sel_matches_fallback(monkeypatch):
     """BERT4Rec loss and eval forward: fused selected-positions path vs
     the XLA fallback (dropout off so paths are comparable)."""
@@ -291,6 +294,7 @@ def test_bert4rec_fused_sel_matches_fallback(monkeypatch):
     np.testing.assert_allclose(np.asarray(fwd_f), np.asarray(fwd_r), atol=5e-5)
 
 
+@pytest.mark.slow
 def test_block_stash_backward_matches_recompute():
     """The attention pr/ctx stash backward must produce identical dx
     and grads to the recompute backward for the full block kernel and

@@ -94,6 +94,7 @@ def test_fused_layer_vjp():
         )
 
 
+@pytest.mark.slow
 def test_dropout_statistics_and_determinism():
     rng = np.random.default_rng(3)
     p = _params(rng)
@@ -255,6 +256,7 @@ def test_fused_layer_last_forward(use_conv, use_ffn):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_fused_layer_last_vjp():
     from datamining_recblr_tpu.ops.fused_layer import fused_recurrent_layer_last
 
@@ -285,6 +287,7 @@ def test_fused_layer_last_vjp():
         )
 
 
+@pytest.mark.slow
 def test_fused_layer_last_dropout_mask_replay():
     """The last-variant's dropout path must agree with the full kernel +
     gather under the same seed (both replay in-kernel PRNG masks), and
@@ -457,6 +460,7 @@ def test_fused_layer_prologue_forward_and_vjp():
         )
 
 
+@pytest.mark.slow
 def test_fused_layer_prologue_dropout_replay():
     """FD through the fused prologue's dropout path (multi-block)."""
     from datamining_recblr_tpu.ops.fused_layer import fused_recurrent_layer
@@ -483,6 +487,7 @@ def test_fused_layer_prologue_dropout_replay():
         np.testing.assert_allclose(np.asarray(g)[idx], float(num), rtol=5e-2, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_stash_backward_matches_recompute():
     """The h-stash backward (forward saves the scan output; backward
     skips its forward scan) must produce identical dx and grads to the
@@ -509,6 +514,7 @@ def test_stash_backward_matches_recompute():
         )
 
 
+@pytest.mark.slow
 def test_stash_backward_matches_recompute_with_dropout():
     """Same stash-vs-recompute contract with dropout_p > 0: the stash
     backward must replay the SAME mask draw order as the recompute

@@ -95,6 +95,7 @@ def test_chunked_matches_whole_t(use_conv, use_ffn, prologue):
     )
 
 
+@pytest.mark.slow
 def test_chunked_single_chunk_degenerate():
     """chunk == T collapses to the whole-T math exactly."""
     flat = _params(True)
@@ -105,6 +106,7 @@ def test_chunked_single_chunk_degenerate():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_chunked_model_under_mesh_matches_unmeshed():
     """T>512 chunked path under a data mesh (shard_map wrappers) must
     reproduce the unmeshed chunked model forward."""

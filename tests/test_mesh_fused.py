@@ -35,6 +35,7 @@ def _model(impl, mesh=None):
     return cfg, m
 
 
+@pytest.mark.slow
 def test_fused_layer_under_mesh_matches_unfused():
     mesh = make_mesh({"data": 4, "model": 2})
     cfg_f, m_fused = _model("always", mesh)

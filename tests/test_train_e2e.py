@@ -48,6 +48,7 @@ def _run(model_name, synth_data, tmp_path, epochs=4, **overrides):
     return cfg, trainer, best_score, best_result
 
 
+@pytest.mark.slow
 def test_recblr_learns(synth_data, tmp_path):
     cfg, trainer, best_score, best_result = _run("RecBLR", synth_data, tmp_path)
     epochs = trainer.metrics.epoch_records()
@@ -62,6 +63,7 @@ def test_recblr_learns(synth_data, tmp_path):
     assert 0.0 <= test_result["hit@10"] <= 1.0
 
 
+@pytest.mark.slow
 def test_bpr_loss_path(synth_data, tmp_path):
     cfg, trainer, best_score, _ = _run(
         "RecBLR", synth_data, tmp_path, epochs=2, loss_type="BPR"
