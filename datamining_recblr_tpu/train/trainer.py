@@ -57,6 +57,14 @@ _STREAM_DRAIN_EVERY = 64
 _STREAM_BLOCK_BYTES = 64 * 1024 * 1024
 _STREAM_BLOCK_MAX_STEPS = 64
 
+# Resident epoch-scan super-step: K train steps per dispatch (lax.scan
+# over K slices of the device-resident permutation).  Bounded because a
+# single scan over a FULL XLong epoch (7,647 steps) crashed the TPU
+# worker process (measured; k=512 runs fine at ~33 ms/step) — 256 keeps
+# a 2x margin while the per-epoch dispatch count stays ~30 (vs 7,647
+# per-step dispatches whose ~50 ms tunnel latency dominated the epoch).
+_EPOCH_SCAN_STEPS = 256
+
 
 class Trainer:
     def __init__(self, config, model, params=None, rng=None, metrics_logger=None):
@@ -379,17 +387,22 @@ class Trainer:
             )
             if use_epoch_scan:
                 pad = (-n) % self.batch_size
-                perm_pad = np.concatenate(
-                    [perm, np.zeros(pad, np.int64)]
-                ) if pad else perm
-                self.params, self.opt_state, ep_losses = (
-                    self._train_epoch_scan(
-                        self.params, self.opt_state, dev_data,
-                        jnp.asarray(perm_pad.astype(np.int32)),
-                        jnp.int32(n), global_step,
+                perm_pad = (
+                    np.concatenate([perm, np.zeros(pad, np.int64)])
+                    if pad else perm
+                ).astype(np.int32)
+                b = self.batch_size
+                for s0 in range(0, steps_per_epoch, _EPOCH_SCAN_STEPS):
+                    k = min(_EPOCH_SCAN_STEPS, steps_per_epoch - s0)
+                    self.params, self.opt_state, ep_losses = (
+                        self._train_epoch_scan(
+                            self.params, self.opt_state, dev_data,
+                            jnp.asarray(perm_pad[s0 * b : (s0 + k) * b]),
+                            jnp.int32(max(n - s0 * b, 0)),
+                            global_step + s0,
+                        )
                     )
-                )
-                losses.append(ep_losses)
+                    losses.append(ep_losses)
                 global_step += steps_per_epoch
                 # true sync: honest train_time and no client runahead
                 float(ep_losses[-1])
