@@ -198,6 +198,36 @@ class SeqData:
         return counts
 
 
+def compact_from_streams(
+    flat: np.ndarray, lens_u: np.ndarray, max_seq_len: int
+) -> SplitArrays:
+    """COMPACT augmented train split from the concatenated per-user
+    train streams (``flat``; user u's stream is the ``lens_u[u]``-long
+    block in user order).  Sample order and content are identical to
+    the dense prefix-augmentation build: users in remapped-id order,
+    prefix length k = 1..L_u-1 ascending within each user.  Shared by
+    the Python builder (``train_compact``) and the native-loader
+    wrapper (``data/native.py``) so the two stay in lockstep."""
+    lens_u = lens_u.astype(np.int64)
+    off = np.concatenate([[0], np.cumsum(lens_u)])[:-1]
+    n_per = np.maximum(lens_u - 1, 0)
+    usr = np.repeat(np.arange(len(lens_u)), n_per).astype(np.int32)
+    # per-sample prefix length k = 1..L_u-1, restarting at each user
+    k = (
+        np.arange(int(n_per.sum()), dtype=np.int64)
+        - np.repeat(np.cumsum(n_per) - n_per, n_per)
+        + 1
+    )
+    tgt = flat[off[usr] + k].astype(np.int32)
+    lens_s = np.minimum(k, max_seq_len).astype(np.int32)
+    start = (off[usr] + k - lens_s).astype(np.int32)
+    return SplitArrays(
+        None, lens_s, tgt, usr,
+        flat_items=flat.astype(np.int32, copy=False),
+        flat_start=start, max_seq_len=max_seq_len,
+    )
+
+
 # ---------------------------------------------------------------------------
 # core construction
 # ---------------------------------------------------------------------------
@@ -294,22 +324,7 @@ def build_from_dataframe(
             if lens_u.sum()
             else np.empty(0, np.int32)
         ).astype(np.int32)
-        off = np.concatenate([[0], np.cumsum(lens_u)])[:-1]
-        n_per = np.maximum(lens_u - 1, 0)
-        usr = np.repeat(np.arange(n_users), n_per).astype(np.int32)
-        # per-sample prefix length k = 1..L_u-1, restarting at each user
-        k = (
-            np.arange(int(n_per.sum()), dtype=np.int64)
-            - np.repeat(np.cumsum(n_per) - n_per, n_per)
-            + 1
-        )
-        tgt = flat[off[usr] + k].astype(np.int32)
-        lens_s = np.minimum(k, max_seq_len).astype(np.int32)
-        start = (off[usr] + k - lens_s).astype(np.int32)
-        return SplitArrays(
-            None, lens_s, tgt, usr,
-            flat_items=flat, flat_start=start, max_seq_len=max_seq_len,
-        )
+        return compact_from_streams(flat, lens_u, max_seq_len)
 
     # large augmented train splits skip the [N, L] host materialization
     # entirely (XLong: 3.9M x 1024 = 16 GB host RAM + a 16 GB/epoch

@@ -129,18 +129,6 @@ def build_dataset_from_file(
                 lib.rb_fill_split(handle, s, i32p(seq), i32p(lens), i32p(tgt), i32p(usr))
             return SplitArrays(seq, lens, tgt, usr)
 
-        train, valid, test = (fetch_split(s, n) for s, n in enumerate(sizes))
-
-        def fetch_tokens(which):
-            size = lib.rb_tokens_size(handle, which)
-            buf = ctypes.create_string_buffer(int(size))
-            lib.rb_tokens(handle, which, buf)
-            toks = buf.raw.decode().split("\n")[:-1]
-            return toks
-
-        user_toks = fetch_tokens(0)
-        item_toks = fetch_tokens(1)
-
         total = lib.rb_train_items_total(handle)
         offsets = np.zeros((n_users,), np.int64)
         items = np.zeros((max(total, 1),), np.int32)
@@ -155,6 +143,45 @@ def build_dataset_from_file(
             end = int(offsets[uid])
             user_train_items[uid] = items[prev:end].copy()
             prev = end
+
+        # Large augmented train splits come back COMPACT (windows into
+        # the per-user streams we already fetched) instead of dense —
+        # same trigger and same construction as the Python builder
+        # (dataset.build_from_dataframe / compact_from_streams), so the
+        # bit-identity contract holds on both storage forms.  Without
+        # this, the native-loader path (preferred by build_dataset)
+        # would hand the trainer a dense XLong split (16 GB) that can
+        # only stream over the remote tunnel (~16 GB/epoch, the
+        # round-4/round-5 ~700-800 s/epoch + ~10 GB RSS/epoch regime)
+        # instead of the ~63 MB device-resident compact form.
+        from datamining_recblr_tpu.data.dataset import (
+            _COMPACT_TRAIN_ELEMS,
+            compact_from_streams,
+        )
+
+        if sizes[0] * max_seq_len > _COMPACT_TRAIN_ELEMS:
+            lens_u = np.diff(offsets, prepend=0)
+            train = compact_from_streams(
+                items[: int(total)], lens_u, max_seq_len
+            )
+            assert len(train) == sizes[0], (
+                f"native compact train size {len(train)} != native "
+                f"augmented size {sizes[0]}"
+            )
+        else:
+            train = fetch_split(0, sizes[0])
+        valid = fetch_split(1, sizes[1])
+        test = fetch_split(2, sizes[2])
+
+        def fetch_tokens(which):
+            size = lib.rb_tokens_size(handle, which)
+            buf = ctypes.create_string_buffer(int(size))
+            lib.rb_tokens(handle, which, buf)
+            toks = buf.raw.decode().split("\n")[:-1]
+            return toks
+
+        user_toks = fetch_tokens(0)
+        item_toks = fetch_tokens(1)
 
         return SeqData(
             n_users=int(n_users),

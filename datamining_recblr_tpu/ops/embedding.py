@@ -145,7 +145,15 @@ def _bwd_scatter(flat_ids, flat_g, v: int, d: int):
     """Plain XLA scatter-add (fp32 accumulate).  O(N*D) work vs the
     one-hot matmul's O(N*V*D) FLOPs: the scatter is ~flat in V
     (N-bound) while the matmul grows linearly, so beyond the crossover
-    vocabulary the serial scatter wins outright."""
+    vocabulary the serial scatter wins outright.
+
+    Round-5 dead end (xplane-profiled at the XLong shape, V=330k
+    N=524k): pre-sorting the updates + ``indices_are_sorted=True``
+    made the STEP 10 ms SLOWER — the argsort's id/row permutes cost
+    3.7 + ~8 ms, the scatter itself didn't speed up, and the extra
+    [N, D] temp evicted the bf16 table copy from VMEM, degrading the
+    forward embedding gather 0.97 -> 7.7 ms.  Keep the scatter
+    unsorted and temp-light."""
     return (
         jnp.zeros((v, d), jnp.float32).at[flat_ids].add(flat_g.astype(jnp.float32))
     )

@@ -123,3 +123,32 @@ def test_build_dataset_warns_on_native_failure(tmp_path, monkeypatch, caplog):
         data = build_dataset(cfg)
     assert data.n_users > 1  # Python fallback still built the dataset
     assert any("native loader failed" in r.message for r in caplog.records)
+
+
+def test_native_compact_train_matches_dense(tmp_path, monkeypatch):
+    """Above the compact threshold the native wrapper must return the
+    COMPACT train form (built from rb_train_lists) with sample-for-
+    sample identical content to the dense native build — this is the
+    path XLong takes through build_dataset (round-5 fix: the native
+    loader used to always materialize the dense train split, silently
+    bypassing the device-resident compact path in the trainer)."""
+    import datamining_recblr_tpu.data.dataset as ds_mod
+
+    path = str(tmp_path / "toyc" / "toyc.inter")
+    write_synthetic_inter(
+        path, n_users=80, n_items=50, min_len=4, max_len=20, seed=5
+    )
+    dense = native.build_dataset_from_file(path, max_seq_len=12)
+    assert not dense.train.compact
+    monkeypatch.setattr(ds_mod, "_COMPACT_TRAIN_ELEMS", 0)
+    compact = native.build_dataset_from_file(path, max_seq_len=12)
+    a, b = compact.train, dense.train
+    assert a.compact
+    assert len(a) == len(b)
+    np.testing.assert_array_equal(a.item_seq_len, b.item_seq_len)
+    np.testing.assert_array_equal(a.pos_item, b.pos_item)
+    np.testing.assert_array_equal(a.user_id, b.user_id)
+    idx = np.arange(len(a))
+    np.testing.assert_array_equal(a.windows(idx), b.item_seq)
+    # valid/test stay dense
+    assert not compact.valid.compact and not compact.test.compact

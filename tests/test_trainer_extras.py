@@ -219,10 +219,13 @@ def test_epoch_scan_matches_per_step(synth_data, tmp_path):
 
 
 @pytest.mark.slow
-def test_compact_split_trains_identically(tmp_path, monkeypatch):
+@pytest.mark.parametrize("seq_len", [16, 12])
+def test_compact_split_trains_identically(tmp_path, monkeypatch, seq_len):
     """The COMPACT train split's on-device batch assembly (gather from
     the flat item stream) must reproduce the dense resident path's
-    trajectory exactly — same samples, same order, same seeding."""
+    trajectory exactly — same samples, same order, same seeding.
+    seq_len=16 runs the 8-wide row-gather assembly (flat_wide), 12 the
+    elementwise-gather fallback."""
     import datamining_recblr_tpu.data.dataset as DS
     from datamining_recblr_tpu.data.synthetic import (
         generate_synthetic_interactions,
@@ -234,15 +237,15 @@ def test_compact_split_trains_identically(tmp_path, monkeypatch):
     )
 
     def run(data):
-        cfg = _cfg(tmp_path, epochs=2)
+        cfg = _cfg(tmp_path, epochs=2, MAX_ITEM_LIST_LENGTH=seq_len)
         model = get_model("RecBLR")(cfg, data.n_items, data.max_seq_len)
         tr = Trainer(cfg, model)
         tr.fit(data)
         return tr.evaluate(data.test, load_best=False)
 
-    res_dense = run(DS.build_from_dataframe(df, max_seq_len=16))
+    res_dense = run(DS.build_from_dataframe(df, max_seq_len=seq_len))
     monkeypatch.setattr(DS, "_COMPACT_TRAIN_ELEMS", 0)
-    data_c = DS.build_from_dataframe(df, max_seq_len=16)
+    data_c = DS.build_from_dataframe(df, max_seq_len=seq_len)
     assert data_c.train.compact
     res_compact = run(data_c)
     for k, v in res_dense.items():
