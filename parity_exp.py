@@ -32,7 +32,7 @@ MODELS = {"R": "RecBLR", "S": "SASRec", "B": "BERT4Rec"}
 
 
 def ensure_dataset(data_path, name, markov=None, clusters=None, within=None,
-                   seed=2020, tag=""):
+                   seed=2020, tag="", pref=None, pref_k=None):
     """Generate (or reuse) the stat-matched dataset.  Any deviation
     from the canonical preset — generator overrides OR a non-default
     seed — writes to a suffixed dataset dir, so the canonical
@@ -45,6 +45,10 @@ def ensure_dataset(data_path, name, markov=None, clusters=None, within=None,
         overrides["n_clusters"] = clusters
     if within is not None:
         overrides["within_cluster"] = within
+    if pref is not None:
+        overrides["pref_weight"] = pref
+    if pref_k is not None:
+        overrides["pref_k"] = pref_k
     ds_name = name
     if overrides:
         suffix = tag or "_".join(
@@ -72,6 +76,12 @@ def main():
                     help="override the preset's n_clusters (regenerates)")
     ap.add_argument("--within", default=None, choices=["pop", "uniform", "sqrt"],
                     help="override the preset's within_cluster mode")
+    ap.add_argument("--pref", type=float, default=None,
+                    help="override the preset's pref_weight (user-preference "
+                    "mixing weight; regenerates)")
+    ap.add_argument("--pref_k", type=int, default=None,
+                    help="override the preset's pref_k (preferred clusters "
+                    "per user; regenerates)")
     ap.add_argument("--tag", default="", help="suffix for artifact names")
     ap.add_argument("--gen_seed", type=int, default=2020,
                     help="generator seed (the calibration protocol in "
@@ -95,6 +105,7 @@ def main():
     ds_name = ensure_dataset(
         args.data_path, args.dataset, args.markov, args.clusters,
         args.within, seed=args.gen_seed, tag=args.tag,
+        pref=args.pref, pref_k=args.pref_k,
     )
     os.makedirs(args.out, exist_ok=True)
     model_keys = list(MODELS) if args.model == "all" else [args.model]
@@ -107,6 +118,10 @@ def main():
         resolved["n_clusters"] = args.clusters
     if args.within is not None:
         resolved["within_cluster"] = args.within
+    if args.pref is not None:
+        resolved["pref_weight"] = args.pref
+    if args.pref_k is not None:
+        resolved["pref_k"] = args.pref_k
 
     for key in model_keys:
         name = MODELS.get(key, key)
