@@ -17,14 +17,22 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from datamining_recblr_tpu.ops.fused_ce import fused_softmax_ce
 
 
+def _sync(out):
+    # block_until_ready is a no-op under the axon remote client; fetch
+    # a scalar instead (device executes in order, so this waits for all
+    # queued dispatches)
+    leaf = jax.tree.leaves(out)[0]
+    float(leaf.ravel()[0])
+
+
 def timeit(f, *args):
-    f(*args)  # compile
-    jax.block_until_ready(f(*args))
+    _sync(f(*args))  # compile
+    _sync(f(*args))  # warm
     t0 = time.perf_counter()
     k = 20
     for _ in range(k):
         out = f(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / k
 
 

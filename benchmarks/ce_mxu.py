@@ -49,12 +49,16 @@ PEAK_TFLOPS = 197.0  # v5e bf16
 
 
 def timeit(f, *args, k=30):
-    jax.block_until_ready(f(*args))  # compile
-    jax.block_until_ready(f(*args))  # warm
+    """Every timed function returns a SCALAR; the end-of-loop float()
+    fetch is the sync (jax.block_until_ready is a no-op under the axon
+    remote client — CLAUDE.md round-5 note).  The device executes
+    dispatches in order, so fetching the last scalar waits for all k."""
+    float(f(*args))  # compile
+    float(f(*args))  # warm
     t0 = time.perf_counter()
     for _ in range(k):
         out = f(*args)
-    jax.block_until_ready(out)
+    float(out)
     return (time.perf_counter() - t0) / k
 
 
